@@ -1,0 +1,161 @@
+"""Maximum scoring segment (Ruzzo–Tompa) post-processing, host side.
+
+Parity with the reference's ``deepgrp.mss.find_mss_labels``
+(``/root/reference/deepgrp/_mss/pymss.pyx:16-80``) and the underlying
+``mss_find_all`` (``/root/reference/deepgrp/_mss/mss.c:50-101``): same score
+constants (s0 = logit(0.99), min_sc = s0*min_mss_len, xdrop =
+s0*xdrop_len*10 or disabled), same integer truncation of the minimum-score
+threshold, same majority-vote labeling quirks (ties keep the lowest class,
+in-segment background positions adopt the majority class, everything else
+keeps its raw label).
+
+The C++ implementation (``native/src/mss.cc``) is the production path; the
+pure-python fallback below implements the identical algorithm and doubles as
+a readable specification.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from deepgrp_tpu import native
+
+_NEG_INF = -1e30
+
+
+def mss_find_all(scores: np.ndarray, min_score: float,
+                 xdrop: float) -> np.ndarray:
+    """All maximal scoring subsequences of ``scores``.
+
+    Returns a structured array with fields ``start``, ``end`` (exclusive)
+    and ``score``; only segments with score >= trunc(min_score) are
+    reported (mss.c:35 truncates the threshold to int).
+    """
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    lib = native.load()
+    if lib is None:
+        segs = _mss_find_all_py(scores, min_score, xdrop)
+    else:
+        capacity = scores.size // 2 + 1
+        buf = (native.DgSegment * capacity)()
+        count = lib.dg_mss_find_all(
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            scores.size, float(min_score), float(xdrop), buf, capacity)
+        segs = [(buf[i].start, buf[i].end, buf[i].score)
+                for i in range(min(count, capacity))]
+    out = np.zeros(len(segs), dtype=[("start", np.int64), ("end", np.int64),
+                                     ("score", np.float64)])
+    for i, (start, end, score) in enumerate(segs):
+        out[i] = (start, end, score)
+    return out
+
+
+def find_mss_labels(scores: np.ndarray, labels: np.ndarray, nof_labels: int,
+                    min_mss_len: int, xdrop_len: int) -> np.ndarray:
+    """Assign labels to maximum scoring segments (pymss.pyx:16-27 parity).
+
+    Args:
+        scores: per-position MSS scores, float64 ``[n]``.
+        labels: per-position argmax classes, int ``[n]``.
+        nof_labels: number of classes (background included).
+        min_mss_len: minimal segment length (in units of the s0 score).
+        xdrop_len: X-drop length; <= 0 disables the X-drop reset.
+
+    Returns:
+        float64 ``[n, nof_labels]`` one-hot labeling.
+    """
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    labels = np.ascontiguousarray(labels, dtype=np.int64)
+    if scores.shape != labels.shape or scores.ndim != 1:
+        raise ValueError("scores and labels must be equal-length 1-D arrays")
+    out = np.zeros((scores.size, nof_labels), dtype=np.float64)
+    lib = native.load()
+    if lib is not None:
+        lib.dg_find_mss_labels(
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            scores.size, nof_labels, min_mss_len, xdrop_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
+    _find_mss_labels_py(scores, labels, nof_labels, min_mss_len, xdrop_len,
+                        out)
+    return out
+
+
+def _mss_find_all_py(scores: np.ndarray, min_score: float,
+                     xdrop: float) -> List[Tuple[int, int, float]]:
+    """Pure-python Ruzzo–Tompa with X-drop; specification fallback."""
+    min_sc = float(int(min_score))  # reference truncates to int (mss.c:35)
+    out: List[Tuple[int, int, float]] = []
+    # Candidate entries: [start, end, lprefix, rprefix, back_pointer]
+    cands: List[list] = []
+
+    def flush() -> None:
+        for start, end, lpre, rpre, _ in cands:
+            if rpre - lpre >= min_sc:
+                out.append((start, end, rpre - lpre))
+        cands.clear()
+
+    n = scores.size
+    prefix = 0.0
+    best = _NEG_INF
+    i = 0
+    while i < n:
+        if scores[i] > 0.0:
+            end = i
+            rpre = prefix
+            while end < n and scores[end] > 0.0:
+                rpre += scores[end]
+                end += 1
+            best = max(best, rpre)
+            cur = [i, end, prefix, rpre, -1]
+            while True:
+                j = len(cands) - 1
+                while j >= 0:
+                    if cands[j][2] < cur[2]:
+                        break
+                    j = cands[j][4] if cands[j][4] >= 0 else j - 1
+                if j >= 0 and cands[j][3] < cur[3]:
+                    cur[0], cur[2], cur[4] = cands[j][0], cands[j][2], cands[j][4]
+                    del cands[j:]
+                    continue
+                if j < 0:
+                    flush()
+                    best = rpre
+                cur[4] = j
+                cands.append(cur)
+                break
+            prefix = rpre
+            i = end
+        else:
+            if xdrop > 0.0 and prefix + scores[i] + xdrop < best:
+                flush()
+                prefix = 0.0
+                best = _NEG_INF
+            prefix += scores[i]
+            i += 1
+    flush()
+    return out
+
+
+def _find_mss_labels_py(scores: np.ndarray, labels: np.ndarray,
+                        nof_labels: int, min_mss_len: int, xdrop_len: int,
+                        out: np.ndarray) -> None:
+    s0 = math.log(0.99 / (1.0 - 0.99))
+    min_sc = s0 * min_mss_len
+    xdrop = s0 * xdrop_len * 10.0 if xdrop_len > 0 else -1.0
+    segs = _mss_find_all_py(scores, min_sc, xdrop)
+    cursor = 0
+    rng = np.arange(scores.size)
+    for start, end, _ in segs:
+        counts = np.bincount(labels[start:end], minlength=nof_labels)
+        major = 1 + int(np.argmax(counts[1:]))  # ties -> lowest class
+        seg_labels = labels[start:end]
+        out[rng[start:end], np.where(seg_labels == 0, major, seg_labels)] = 1.0
+        out[rng[cursor:start], labels[cursor:start]] = 1.0
+        cursor = end
+    out[rng[cursor:], labels[cursor:]] = 1.0
