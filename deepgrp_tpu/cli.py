@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+Flag and behavior parity with the reference ``deepgrp`` CLI
+(``/root/reference/deepgrp/__main__.py:86-356``): global flags
+``--batch_size/-b --step_size/-s --xdrop_length/-x --min_mss_length/-l
+--threads/-t --xla -v`` and the ``train`` / ``predict`` subcommands with the
+same arguments, defaults and output format
+(``filename\\theader\\tstart\\tend\\tlabel`` rows for label > 0 segments).
+
+Parity-preserved quirks:
+  * ``predict`` takes ``vecsize`` from the model file's input shape
+    (__main__.py:270),
+  * ``train`` applies the CLI-built Options dict over the TOML file —
+    which, as in the reference, overwrites every TOML value with
+    defaults + CLI flags (__main__.py:309-311; SURVEY §5 documents this
+    precedence bug; ``--honor-toml`` opts out),
+  * ``--xla`` is accepted but a no-op: everything is XLA-compiled here.
+
+``--threads`` bounds host-side CPU parallelism (it mapped to TF's thread
+pools in the reference, __main__.py:221-233).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+_LOG = logging.getLogger("deepgrp_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="deepgrp_tpu",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="DeepGRP-TPU - Prediction of repetitive elements")
+    parser.add_argument("--batch_size", "-b", type=int, default=256,
+                        help="Batch size to use for prediction")
+    parser.add_argument("--step_size", "-s", type=int, default=50,
+                        help="Window step size")
+    parser.add_argument("--xdrop_length", "-x", type=int, default=50,
+                        help="XDrop parameter for MSS algorithm, ignored if "
+                        "--no_use_mss, disabled with values<0")
+    parser.add_argument("--min_mss_length", "-l", type=int, default=50,
+                        help="Minimal length of maximum scoring segments, "
+                        "ignored if --no_use_mss")
+    parser.add_argument("--threads", "-t", type=int, default=1,
+                        help="Number of host threads (all=0)")
+    parser.add_argument("--xla", action="store_true",
+                        help="Accepted for compatibility (always XLA)")
+    parser.add_argument("-v", "--verbose", action="count", default=0,
+                        help="Increase verbosity")
+
+    subparsers = parser.add_subparsers(help="sub-command help",
+                                       dest="command")
+
+    train = subparsers.add_parser(
+        name="train",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="Train a deepgrp model")
+    train.add_argument("parameter", type=str,
+                       help="toml file with parameters")
+    train.add_argument("trainfile", type=str,
+                       help="Training data preprocessed with "
+                       "'preprocess_sequence'")
+    train.add_argument("validfile", type=str,
+                       help="Validation data preprocessed with "
+                       "'preprocess_sequence'")
+    train.add_argument("bedfile", type=str,
+                       help="Ground truth repeat annotation data.")
+    train.add_argument("--logdir", type=str, default=".",
+                       help="Directory for log / checkpoint files.")
+    train.add_argument("--modelfile", type=str, default="model.npz",
+                       help="Output path for the model file.")
+    train.add_argument("--honor-toml", action="store_true",
+                       help="Let TOML values win over CLI defaults (the "
+                       "reference overwrites TOML with defaults)")
+
+    predict = subparsers.add_parser(
+        name="predict",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="predict using a deepgrp model")
+    predict.add_argument("model", type=str,
+                         help="Model file (.npz native or Keras .h5/.hdf5)")
+    predict.add_argument("FASTA", nargs="+", type=str,
+                         help="Fasta input files ('-' for stdin)")
+    predict.add_argument("--output", type=str, default="-",
+                         help="Output filename")
+    predict.add_argument("--no_use_mss", "-m", action="store_true",
+                         help="Disable maximum scoring segment algorithm")
+    return parser
+
+
+def set_logging(verbose: int) -> None:
+    loglevels = [logging.WARNING, logging.INFO, logging.DEBUG]
+    logging.basicConfig()
+    _LOG.setLevel(loglevels[min(len(loglevels) - 1, verbose)])
+
+
+def setup_runtime(threads: int) -> None:
+    """Bound host-side thread pools (TPU compute is unaffected)."""
+    if threads > 0:
+        os.environ.setdefault("OMP_NUM_THREADS", str(threads))
+
+
+def options_from_args(args: argparse.Namespace):
+    from deepgrp_tpu.config import Options
+
+    # Same trio of CLI-sourced options as the reference (__main__.py:245-249).
+    return Options(min_mss_len=args.min_mss_length,
+                   batch_size=args.batch_size,
+                   xdrop_len=args.xdrop_length)
+
+
+def cmd_predict(args: argparse.Namespace, options) -> None:
+    import jax
+
+    from deepgrp_tpu.data.fasta import read_multi_fasta
+    from deepgrp_tpu.models.keras_io import load_model
+    from deepgrp_tpu.models.model import DeepGRPModel
+    from deepgrp_tpu.ops.encoding import one_hot_encode_dna_sequence
+    from deepgrp_tpu.ops.segments import yield_segments
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    _LOG.debug("Loading model %s", args.model)
+    config, params = load_model(args.model)
+    options.vecsize = config.vecsize  # vecsize from the model (parity)
+    model = DeepGRPModel(config)
+    params = jax.device_put(params)
+    _LOG.info("Model loading finished successfully!")
+
+    outstream = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        for filename in args.FASTA:
+            _LOG.info("Processing %s", filename)
+            filestream = sys.stdin if filename == "-" else open(filename)
+            try:
+                for header, dnasequence in read_multi_fasta(filestream):
+                    startpos, onehot = one_hot_encode_dna_sequence(
+                        dnasequence)
+                    predictions = predict_sequence(
+                        model, params, onehot, options, args.step_size,
+                        use_mss=not args.no_use_mss)
+                    for segment in yield_segments(predictions, startpos):
+                        if segment[2] > 0:
+                            outstream.write("{}\t{}\t{}\t{}\t{}\n".format(
+                                filename, header, *segment))
+            finally:
+                if filename != "-":
+                    filestream.close()
+    finally:
+        if args.output != "-":
+            outstream.close()
+
+
+def cmd_train(args: argparse.Namespace, options) -> None:
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.data import preprocess as dgpreprocess
+    from deepgrp_tpu.models.keras_io import save_model_npz
+    from deepgrp_tpu.models.model import create_model
+    from deepgrp_tpu.train.training import training
+
+    with open(args.parameter) as file:
+        parameter = Options.from_toml(file)
+    if not args.honor_toml:
+        # Reference precedence: the full CLI Options dict (defaults + the
+        # three CLI flags) overwrites the TOML values (__main__.py:309-311).
+        parameter.fromdict(options.todict())
+    else:
+        parameter.min_mss_len = options.min_mss_len
+        parameter.batch_size = options.batch_size
+        parameter.xdrop_len = options.xdrop_len
+
+    train_chr = os.path.basename(args.trainfile).split(".")[0]
+    val_chr = os.path.basename(args.validfile).split(".")[0]
+
+    if not os.path.isdir(args.logdir):
+        os.mkdir(args.logdir)
+
+    _LOG.info("Loading in all data necessary from %s, %s, %s",
+              args.trainfile, args.validfile, args.bedfile)
+    train_fwd = np.load(args.trainfile, allow_pickle=False)["fwd"]
+    val_fwd = np.load(args.validfile, allow_pickle=False)["fwd"]
+
+    y_train = dgpreprocess.preprocess_y(args.bedfile, train_chr,
+                                        train_fwd.shape[1],
+                                        parameter.repeats_to_search)
+    y_val = dgpreprocess.preprocess_y(args.bedfile, val_chr,
+                                      val_fwd.shape[1],
+                                      parameter.repeats_to_search)
+
+    train_fwd, y_train = dgpreprocess.drop_start_end_n(train_fwd, y_train)
+    val_fwd, y_val = dgpreprocess.drop_start_end_n(val_fwd, y_val)
+    train_data = dgpreprocess.Data(train_fwd, y_train)
+    val_data = dgpreprocess.Data(val_fwd, y_val)
+
+    _LOG.info("Creating model for training")
+    model = create_model(parameter)
+    _LOG.info("Training Model")
+    best_params, _ = training((train_data, val_data), parameter, model,
+                              args.logdir)
+
+    _LOG.info("Saving model as %s", args.modelfile)
+    save_model_npz(args.modelfile, model.config, best_params)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        sys.exit(2)
+    set_logging(args.verbose)
+    setup_runtime(args.threads)
+    options = options_from_args(args)
+    if args.command == "train":
+        cmd_train(args, options)
+    else:
+        cmd_predict(args, options)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

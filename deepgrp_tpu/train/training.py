@@ -1,0 +1,210 @@
+"""Training loop.
+
+Reference behavior (``/root/reference/deepgrp/training.py:15-73``): generator
+datasets for train/val, per-epoch loop of ``n_batches`` steps, one
+validation batch per epoch, EarlyStopping on val_loss with patience
+``early_stopping_th`` and best-weight restoration, per-epoch best-only
+weight checkpoints into ``logdir``, TensorBoard metrics.
+
+TPU-native design: the whole optimization step (sample -> forward ->
+loss -> backward -> update) is a single ``jit`` with donated
+params/optimizer state; an epoch runs as ``n_batches`` dispatches of that
+step with per-step PRNG keys.  The loss is categorical cross-entropy
+computed from logits (``log_softmax``) — numerically equivalent to the
+reference's CCE-on-softmax (model.py:333-334) but stable.  Metrics stream
+to ``logdir/metrics.jsonl`` and, when available, TensorBoard event files.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.models.model import DeepGRPModel, create_model
+from deepgrp_tpu.train.checkpoint import CheckpointManager
+from deepgrp_tpu.train.optimizers import get_optimizer
+from deepgrp_tpu.train.sampler import BatchSampler
+
+_LOG = logging.getLogger(__name__)
+
+MetricCallback = Callable[[int, Dict[str, float]], None]
+
+
+def categorical_crossentropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean categorical cross-entropy over batch and positions."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(labels * log_probs, axis=-1))
+
+
+class MetricsWriter:
+    """JSONL metrics log with optional TensorBoard event mirroring."""
+
+    def __init__(self, logdir: os.PathLike, tensorboard: bool = False):
+        self.logdir = os.fspath(logdir)
+        os.makedirs(self.logdir, exist_ok=True)
+        self._file = open(os.path.join(self.logdir, "metrics.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:  # torch's TB writer; optional and slow to import
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=self.logdir)
+            except Exception:  # pragma: no cover - environment dependent
+                _LOG.info("TensorBoard writer unavailable; JSONL only")
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        record = {"step": step, "time": time.time(), **metrics}
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self._tb is not None:
+            for key, value in metrics.items():
+                self._tb.add_scalar(key, value, step)
+
+    def close(self) -> None:
+        self._file.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+@partial(jax.jit,
+         static_argnames=("model", "optimizer", "vecsize", "sampler_static"),
+         donate_argnums=(0, 1))
+def _train_step(params, opt_state, key, fwd, lbl, candidates, lengths,
+                sampler_static, model: DeepGRPModel,
+                optimizer: optax.GradientTransformation, vecsize: int):
+    """One fused optimization step: sample, gather, forward/backward, update."""
+    from deepgrp_tpu.train import sampler as sampler_lib
+
+    n_sampled, ocs, batch, seq_len = sampler_static
+    key_sample, key_dropout = jax.random.split(key)
+    starts = sampler_lib._sample_starts(key_sample, candidates, lengths,
+                                        n_sampled, ocs, batch, seq_len,
+                                        vecsize)
+
+    def cut(buf, start):
+        return jax.lax.dynamic_slice(buf, (start, 0),
+                                     (vecsize, buf.shape[1]))
+
+    x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
+    y = jax.vmap(lambda s: cut(lbl, s))(starts).astype(jnp.float32)
+
+    def loss_fn(p):
+        logits = model.apply_logits(p, x, deterministic=False,
+                                    dropout_key=key_dropout)
+        return categorical_crossentropy(logits, y)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _eval_step(params, x, y, model: DeepGRPModel):
+    logits = model.apply_logits(params, x, deterministic=True)
+    return categorical_crossentropy(logits, y)
+
+
+class Trainer:
+    """Reusable training driver for one model/options pair."""
+
+    def __init__(self, model: DeepGRPModel, options: Options,
+                 logdir: os.PathLike, tensorboard: bool = False):
+        self.model = model
+        self.options = options
+        self.logdir = logdir
+        self.optimizer = get_optimizer(options)
+        self.checkpoints = CheckpointManager(logdir)
+        self.writer = MetricsWriter(logdir, tensorboard=tensorboard)
+
+    def fit(self, train_data: Data, val_data: Data, params=None,
+            seed: int = 0,
+            callbacks: Optional[List[MetricCallback]] = None
+            ) -> Tuple[Any, Dict[str, List[float]]]:
+        """Run the full training loop; returns (best_params, history)."""
+        options = self.options
+        model = self.model
+        key = jax.random.PRNGKey(seed)
+        if params is None:
+            key, init_key = jax.random.split(key)
+            params = model.init(init_key)
+        opt_state = self.optimizer.init(params)
+
+        train_sampler = BatchSampler(options, train_data)
+        val_sampler = BatchSampler(options, val_data)
+        sampler_static = (train_sampler.n_sampled_classes,
+                          train_sampler.one_class_size,
+                          train_sampler.batch_size, train_sampler.seq_len)
+
+        history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
+        best_val = np.inf
+        best_params = jax.device_get(params)
+        patience = 0
+
+        for epoch in range(1, options.n_epochs + 1):
+            epoch_t0 = time.time()
+            losses = []
+            for _ in range(options.n_batches):
+                key, step_key = jax.random.split(key)
+                params, opt_state, loss = _train_step(
+                    params, opt_state, step_key, train_sampler._fwd,
+                    train_sampler._lbl, train_sampler._candidates,
+                    train_sampler._lengths, sampler_static, model,
+                    self.optimizer, options.vecsize)
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+
+            key, val_key = jax.random.split(key)
+            val_x, val_y = val_sampler.batch(val_key)
+            val_loss = float(_eval_step(params, val_x, val_y, model))
+
+            history["loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            metrics = {"loss": train_loss, "val_loss": val_loss,
+                       "epoch_seconds": time.time() - epoch_t0}
+            self.writer.write(epoch, metrics)
+            for callback in callbacks or []:
+                callback(epoch, metrics)
+            _LOG.info("epoch %d: loss=%.5f val_loss=%.5f", epoch, train_loss,
+                      val_loss)
+
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.device_get(params)
+                self.checkpoints.save(epoch, best_params)
+                patience = 0
+            else:
+                patience += 1
+                if patience >= options.early_stopping_th:
+                    _LOG.info("early stopping at epoch %d", epoch)
+                    break
+
+        # EarlyStopping(restore_best_weights=True) semantics.
+        return best_params, history
+
+
+def training(data: Tuple[Data, Data], options: Options,
+             model: Optional[DeepGRPModel] = None,
+             logdir: os.PathLike = ".",
+             extra_callbacks: Optional[List[MetricCallback]] = None,
+             params=None, seed: int = 0):
+    """Functional API mirroring the reference ``training()``
+    (training.py:15-73).  Returns ``(best_params, history)``."""
+    if model is None:
+        model = create_model(options)
+    trainer = Trainer(model, options, logdir)
+    try:
+        return trainer.fit(data[0], data[1], params=params, seed=seed,
+                           callbacks=extra_callbacks)
+    finally:
+        trainer.writer.close()

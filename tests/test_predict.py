@@ -1,0 +1,143 @@
+"""Prediction engine / post-processing / metrics tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.models import create_model
+from deepgrp_tpu.ops import encoding, overlap_max
+from deepgrp_tpu.predict import (PredictionEngine, apply_mss,
+                                 calculate_metrics,
+                                 calculate_multiclass_matthews_cc,
+                                 confusion_matrix, predict_complete, softmax)
+from deepgrp_tpu.predict.engine import window_starts
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.train.checkpoint import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    options = Options(vecsize=30, units=8, attention=True, batch_size=7)
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(0))
+    return options, model, params
+
+
+def reference_style_predict(model, params, onehot, step, batch_size):
+    """Oracle: batch-by-batch host loop with get_max merging (with correct
+    offsets, i.e. without the reference's partial-batch misplacement)."""
+    vecsize = model.config.vecsize
+    starts = window_starts(onehot.shape[1], vecsize, step)
+    out = np.zeros((onehot.shape[1], model.config.n_classes),
+                   dtype=np.float32)
+    for lo in range(0, starts.size, batch_size):
+        chunk = starts[lo:lo + batch_size]
+        x = np.stack([onehot[:, s:s + vecsize].T for s in chunk])
+        probs = np.asarray(model.apply(params, jnp.asarray(
+            x, jnp.float32))).astype(np.float32)
+        overlap_max.get_max(out[lo * step:], probs, step)
+    return out
+
+
+def test_window_starts_parity():
+    # len(range(0, L - V, s)) — window at exactly L-V excluded
+    np.testing.assert_array_equal(window_starts(100, 30, 10),
+                                  np.arange(0, 70, 10))
+    assert window_starts(130, 30, 50).tolist() == [0, 50]
+    assert window_starts(30, 30, 10).size == 0
+    assert window_starts(10, 30, 10).size == 0
+
+
+@pytest.mark.parametrize("seq_len", [200, 233, 30, 29, 95])
+def test_engine_matches_reference_loop(small_model, random_dna, seq_len):
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(seq_len, alphabet="ACGT", seed=seq_len))
+    engine = PredictionEngine(model, batch_size=options.batch_size,
+                              step_size=10)
+    got = engine.predict(params, onehot)
+    expected = reference_style_predict(model, params, onehot, 10,
+                                       options.batch_size)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_engine_partial_batch_placement(small_model, random_dna):
+    # 11 windows with batch 7 -> second batch is partial; windows must land
+    # at their true offsets (the reference misplaces these,
+    # prediction.py:105 — deliberate divergence).
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(30 + 10 * 11, alphabet="ACGT", seed=1))
+    engine = PredictionEngine(model, batch_size=7, step_size=10)
+    got = engine.predict(params, onehot)
+    expected = reference_style_predict(model, params, onehot, 10, 7)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_engine_zero_windows(small_model):
+    options, model, params = small_model
+    onehot = np.zeros((5, 20), dtype=np.int8)
+    engine = PredictionEngine(model, batch_size=4, step_size=10)
+    out = engine.predict(params, onehot)
+    np.testing.assert_array_equal(out, np.zeros((20, 5), np.float32))
+
+
+def test_apply_mss_scoring():
+    # Confident repeat block inside background.
+    n = 300
+    probs = np.zeros((n, 5), dtype=np.float32)
+    probs[:, 0] = 0.98
+    probs[100:220, 0] = 0.01
+    probs[100:220, 2] = 0.97
+    options = Options(min_mss_len=50, xdrop_len=50)
+    out = apply_mss(probs, options)
+    assert out.shape == (n, 5)
+    classes = out.argmax(axis=1)
+    np.testing.assert_array_equal(classes[100:220], np.full(120, 2))
+    np.testing.assert_array_equal(classes[:100], np.zeros(100))
+
+
+def test_softmax_matches_scipy():
+    from scipy.special import softmax as scipy_softmax
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(40, 5)).astype(np.float32)
+    # reference softmax subtracts the *global* max; still row-normalized
+    np.testing.assert_allclose(softmax(arr), scipy_softmax(arr, axis=1),
+                               atol=1e-6)
+
+
+def test_confusion_matrix_and_metrics_vs_sklearn():
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(1)
+    true = rng.integers(0, 5, 1000)
+    pred = rng.integers(0, 5, 1000)
+    cnf = confusion_matrix(true, pred)
+    np.testing.assert_array_equal(
+        cnf, sklearn_metrics.confusion_matrix(true, pred))
+    mcc = calculate_multiclass_matthews_cc(cnf)
+    assert mcc == pytest.approx(
+        sklearn_metrics.matthews_corrcoef(true, pred), abs=1e-12)
+    _, metrics = calculate_metrics(pred, true)
+    assert metrics["TotalACC"] == pytest.approx((true == pred).mean())
+    assert metrics["ACC"].shape == (5,)
+
+
+def test_predict_complete_checkpoint_roundtrip(tmp_path, small_model,
+                                               random_dna):
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(150, alphabet="ACGT", seed=7))
+    truelbl = np.zeros((5, onehot.shape[1]), dtype=np.int8)
+    truelbl[0] = 1
+    data = Data(fwd=onehot, truelbl=truelbl)
+
+    CheckpointManager(tmp_path).save(3, jax.device_get(params))
+    out = predict_complete(10, options, tmp_path, data, use_mss=True)
+    assert out.shape == (onehot.shape[1], 5)
+    # compare against direct params path
+    direct = predict_complete(10, options, tmp_path, data, use_mss=True,
+                              params=params)
+    np.testing.assert_allclose(out, direct, atol=1e-6)
