@@ -1,0 +1,88 @@
+"""Data-parallel training step.
+
+Model weights and optimizer state are replicated; each device samples its
+own slice of the class-balanced batch (PRNG key folded with the device
+index), computes local gradients, and gradients are ``psum``-averaged over
+the mesh's ICI before the (replicated) optimizer update.  Inside one jit:
+sample -> gather -> forward/backward -> all-reduce -> update.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.models.model import DeepGRPModel
+from deepgrp_tpu.parallel.mesh import DATA_AXIS
+from deepgrp_tpu.train import sampler as sampler_lib
+from deepgrp_tpu.train.sampler import BatchSampler
+from deepgrp_tpu.train.training import categorical_crossentropy
+
+
+def make_dp_train_step(model: DeepGRPModel,
+                       optimizer: optax.GradientTransformation,
+                       mesh: Mesh, options: Options,
+                       train_sampler: BatchSampler):
+    """Build a jitted data-parallel train step.
+
+    The per-device batch is ``batch_size // n_devices`` (``batch_size`` must
+    divide evenly).  Returns
+    ``step(params, opt_state, key, fwd, lbl, candidates, lengths)
+    -> (params, opt_state, loss)`` where data arrays are replicated.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    if train_sampler.batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {train_sampler.batch_size} not divisible by "
+            f"{n_dev} devices")
+    local_batch = train_sampler.batch_size // n_dev
+    # Per-device class quota: same totals as single-device when divisible.
+    local_ocs = max(train_sampler.one_class_size // n_dev, 0)
+    vecsize = int(options.vecsize)
+    n_sampled = train_sampler.n_sampled_classes
+    seq_len = train_sampler.seq_len
+
+    def device_step(params, opt_state, key, fwd, lbl, candidates, lengths):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        key_sample, key_dropout = jax.random.split(key)
+        starts = sampler_lib._sample_starts(key_sample, candidates, lengths,
+                                            n_sampled, local_ocs,
+                                            local_batch, seq_len, vecsize)
+
+        def cut(buf, start):
+            return jax.lax.dynamic_slice(buf, (start, 0),
+                                         (vecsize, buf.shape[1]))
+
+        x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
+        y = jax.vmap(lambda s: cut(lbl, s))(starts).astype(jnp.float32)
+
+        def loss_fn(p):
+            logits = model.apply_logits(p, x, deterministic=False,
+                                        dropout_key=key_dropout)
+            return categorical_crossentropy(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def dp_train_arrays(train_sampler: BatchSampler) -> Tuple:
+    """The replicated device arrays a DP step needs from a sampler."""
+    return (train_sampler._fwd, train_sampler._lbl,
+            train_sampler._candidates, train_sampler._lengths)

@@ -1,0 +1,125 @@
+"""Distributed layer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.models import create_model
+from deepgrp_tpu.parallel import (ShardedPredictionEngine, make_dp_train_step,
+                                  make_mesh)
+from deepgrp_tpu.parallel.train import dp_train_arrays
+from deepgrp_tpu.predict import PredictionEngine
+from deepgrp_tpu.train import BatchSampler, get_optimizer
+from deepgrp_tpu.train.training import _train_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multi-device platform")
+
+
+def make_onehot(length, seed=0):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=length)
+    onehot = np.zeros((5, length), dtype=np.int8)
+    onehot[codes, np.arange(length)] = 1
+    return onehot
+
+
+@pytest.fixture(scope="module")
+def setup():
+    options = Options(vecsize=30, units=8, attention=True, batch_size=16,
+                      repeats_to_search=[1, 2])
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(0))
+    return options, model, params
+
+
+@pytest.mark.parametrize("seq_len", [5000, 1603, 12345])
+def test_sharded_predict_matches_single_device(setup, seq_len):
+    options, model, params = setup
+    onehot = make_onehot(seq_len, seed=seq_len)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=16,
+                                      step_size=10)
+    single = PredictionEngine(model, batch_size=16, step_size=10)
+    a = sharded.predict(params, onehot)
+    b = single.predict(params, onehot)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_predict_no_overlap_stride(setup):
+    # step >= vecsize: no halo exchange at all
+    options, model, params = setup
+    onehot = make_onehot(9000)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=8,
+                                      step_size=30)
+    single = PredictionEngine(model, batch_size=8, step_size=30)
+    np.testing.assert_array_equal(sharded.predict(params, onehot),
+                                  single.predict(params, onehot))
+
+
+def test_sharded_predict_tiny_fallback(setup):
+    options, model, params = setup
+    onehot = make_onehot(200)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=4,
+                                      step_size=2)
+    single = PredictionEngine(model, batch_size=4, step_size=2)
+    np.testing.assert_array_equal(sharded.predict(params, onehot),
+                                  single.predict(params, onehot))
+
+
+def test_dp_train_step_runs_and_improves(setup):
+    options, model, params = setup
+    onehot = make_onehot(6000)
+    truelbl = np.zeros((3, 6000), dtype=np.int8)
+    truelbl[1, 500:1500] = 1
+    truelbl[2, 3000:3600] = 1
+    truelbl[0] = truelbl[1:].sum(axis=0) == 0
+    data = Data(fwd=onehot, truelbl=truelbl)
+    sampler = BatchSampler(options, data)
+    optimizer = get_optimizer(Options(**{**options.todict(),
+                                         "learning_rate": 0.01}))
+    mesh = make_mesh()
+    step = make_dp_train_step(model, optimizer, mesh, options, sampler)
+    opt_state = optimizer.init(params)
+    arrays = dp_train_arrays(sampler)
+    p, s = params, opt_state
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        p, s, loss = step(p, s, jax.random.fold_in(key, i), *arrays)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_dp_batch_divisibility_check(setup):
+    options, model, params = setup
+    bad = Options(**{**options.todict(), "batch_size": 13})
+    data = Data(fwd=make_onehot(3000),
+                truelbl=np.ones((3, 3000), dtype=np.int8))
+    mesh = make_mesh()
+    if mesh.shape["data"] == 1:
+        pytest.skip("single device")
+    sampler = BatchSampler(bad, data)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_dp_train_step(model, get_optimizer(bad), mesh, bad, sampler)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__
+
+    fn, (params, x) = __graft_entry__.entry()
+    out = jax.jit(fn)(params, x)
+    assert out.shape == (x.shape[0], x.shape[1], 5)
+    assert bool(jax.numpy.isfinite(out).all())
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(len(jax.devices()))
