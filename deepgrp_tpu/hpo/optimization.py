@@ -1,0 +1,120 @@
+"""HPO objective and sweep driver.
+
+Parity with ``/root/reference/deepgrp/optimization.py:24-154``:
+``build_and_optimize`` updates Options from the trial dict (coercing
+vecsize/units to int), trains, restores the best checkpoint, runs a full
+MSS-post-processed validation prediction, filters short segments, computes
+metrics, and returns the hyperopt-style result dict
+``{loss: -MCC | inf, status, Metrics, options, logdir, error}``; failed
+trials' logdirs are deleted.  ``run_a_trial`` resumes a pickled
+``results.pkl`` and appends ``max_evals`` more TPE evaluations.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import shutil
+from os import PathLike, path
+from typing import Any, Callable, Dict, Union
+
+import numpy as np
+
+from deepgrp_tpu.config import Options, create_logdir
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.hpo.space import Dimension
+from deepgrp_tpu.hpo.tpe import STATUS_FAIL, STATUS_OK, Trials, fmin
+from deepgrp_tpu.models.model import create_model
+from deepgrp_tpu.ops.segments import filter_segments
+from deepgrp_tpu.predict.metrics import calculate_metrics
+from deepgrp_tpu.predict.postprocess import predict_complete
+from deepgrp_tpu.train.training import training
+
+_LOGGER = logging.getLogger(__name__)
+
+
+def _update_options(options: Options, dictionary: Dict[str, Any]) -> Options:
+    for key, value in dictionary.items():
+        options[key] = value
+    options.vecsize = int(options.vecsize)
+    options.units = int(options.units)
+    return options
+
+
+def build_and_optimize(
+        train_data: Data, val_data: Data, step_size: int, options: Options,
+        options_dict: Dict[str, Union[str, float]]) -> Dict[str, Any]:
+    """Train + evaluate one hyperparameter assignment (TPE objective)."""
+    options = _update_options(options, options_dict)
+    logdir = create_logdir(options)
+
+    def _train_test() -> Dict[str, Any]:
+        model = create_model(options)
+        best_params, _ = training((train_data, val_data), options, model,
+                                  logdir)
+        predictions = predict_complete(step_size, options, logdir, val_data,
+                                       use_mss=True, params=best_params)
+        is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
+        predictions_class = predictions[is_not_na].argmax(axis=1)
+        filter_segments(predictions_class, options.min_mss_len)
+        _, metrics = calculate_metrics(
+            predictions_class, val_data.truelbl[:, is_not_na].argmax(axis=0))
+        return metrics
+
+    results: Dict[str, Any] = {
+        "loss": np.inf,
+        "Metrics": None,
+        "options": options.todict(),
+        "logdir": None,
+        "status": STATUS_FAIL,
+        "error": "",
+    }
+    try:
+        metrics = _train_test()
+    except Exception as err:  # pylint: disable=broad-except
+        _LOGGER.exception("Error occurred while training")
+        results["error"] = str(err)
+        results["status"] = STATUS_FAIL
+    else:
+        results["logdir"] = logdir
+        results["loss"] = -1 * metrics["MCC"]
+        results["status"] = STATUS_OK
+        results["Metrics"] = metrics
+        if np.isnan(results["loss"]):
+            results["status"] = STATUS_FAIL
+            results["loss"] = np.inf
+    if results["status"] == STATUS_FAIL and results["logdir"]:
+        shutil.rmtree(results["logdir"], ignore_errors=True)
+    return results
+
+
+def run_a_trial(space: Dict[str, Dimension],
+                objective: Callable[[Dict[str, Any]], Dict[str, Any]],
+                project_root_dir: PathLike, max_evals: int,
+                seed: int = None) -> int:
+    """One TPE meta-optimization increment with ``results.pkl`` resume.
+
+    Adds ``max_evals`` evaluations on top of any previously pickled trials
+    (optimization.py:109-154 parity); returns the total trial count.
+    """
+    nb_evals = max_evals
+    results_path = path.join(project_root_dir, "results.pkl")
+
+    try:
+        with open(results_path, "rb") as file:
+            trials = pickle.load(file)
+    except FileNotFoundError:
+        trials = Trials()
+        _LOGGER.info("Starting from scratch: new trials.")
+    else:
+        _LOGGER.warning("Found saved Trials! Loading...")
+        max_evals = len(trials.trials) + nb_evals
+        _LOGGER.info("Rerunning from %d trials to add another one.",
+                     len(trials.trials))
+
+    fmin(objective, space, trials, max_evals, seed=seed)
+
+    with open(results_path, "wb") as file:
+        pickle.dump(trials, file)
+
+    return len(trials.losses())

@@ -147,13 +147,21 @@ def forward(params: Params, x: jax.Array, config: ModelConfig, *,
 def forward_logits(params: Params, x: jax.Array, config: ModelConfig, *,
                    deterministic: bool = True,
                    dropout_key: Optional[jax.Array] = None,
+                   dropout_rate=None,
                    rnn_apply=None) -> jax.Array:
-    """Apply the model up to (pre-softmax) logits ``[B, T, n_classes]``."""
+    """Apply the model up to (pre-softmax) logits ``[B, T, n_classes]``.
+
+    ``dropout_rate`` overrides ``config.dropout`` (used by vmapped HPO
+    trials, where the rate is a traced per-trial scalar).
+    """
     batch = x.shape[0]
     if rnn_apply is None:
         rnn_apply = (rnn_lib.lstm_apply
                      if config.rnn == "LSTM" else rnn_lib.gru_apply)
-    rate = 0.0 if deterministic else config.dropout
+    if deterministic:
+        rate = 0.0
+    else:
+        rate = config.dropout if dropout_rate is None else dropout_rate
 
     both = jnp.concatenate([x, reverse_complement(x)], axis=0)
     seq, last = rnn_apply(params["rnn"], both, dropout_rate=rate,

@@ -61,9 +61,9 @@ def lstm_init(key: jax.Array, input_dim: int, units: int,
     return {"kernel": kernel, "recurrent": recurrent, "bias": bias}
 
 
-def _input_dropout_masks(key: jax.Array, shape: Tuple[int, int], rate: float,
+def _input_dropout_masks(key: jax.Array, shape: Tuple[int, int], rate,
                          count: int, dtype) -> jax.Array:
-    keep = 1.0 - rate
+    keep = 1.0 - rate  # rate may be a traced scalar (vmapped HPO trials)
     mask = jax.random.bernoulli(key, keep, (count,) + shape)
     return mask.astype(dtype) / keep
 
@@ -87,13 +87,26 @@ def gru_apply(params: Params, x: jax.Array, *,
                           dropout_key=dropout_key, unroll=unroll)
 
 
+def _use_dropout(rate, key) -> bool:
+    """Whether to take the masked path.
+
+    A traced (vmapped-over) rate always takes it — rate 0 then degenerates
+    to an all-ones mask, preserving semantics.
+    """
+    if key is None:
+        return False
+    if isinstance(rate, jax.Array):
+        return True
+    return rate > 0.0
+
+
 def _gru_apply(params: Params, x: jax.Array, *,
-               dropout_rate: float, dropout_key: Optional[jax.Array],
+               dropout_rate, dropout_key: Optional[jax.Array],
                unroll: int) -> Tuple[jax.Array, jax.Array]:
     units = params["recurrent"].shape[0]
     bias_in, bias_rec = params["bias"][0], params["bias"][1]
 
-    if dropout_rate > 0.0 and dropout_key is not None:
+    if _use_dropout(dropout_rate, dropout_key):
         # Per-gate masked input projections (Keras: 3 masks, shared over T).
         masks = _input_dropout_masks(dropout_key, (x.shape[0], x.shape[2]),
                                      dropout_rate, 3, x.dtype)
@@ -134,12 +147,12 @@ def lstm_apply(params: Params, x: jax.Array, *,
 
 
 def _lstm_apply(params: Params, x: jax.Array, *,
-                dropout_rate: float, dropout_key: Optional[jax.Array],
+                dropout_rate, dropout_key: Optional[jax.Array],
                 unroll: int) -> Tuple[jax.Array, jax.Array]:
     units = params["recurrent"].shape[0]
     bias = params["bias"]
 
-    if dropout_rate > 0.0 and dropout_key is not None:
+    if _use_dropout(dropout_rate, dropout_key):
         masks = _input_dropout_masks(dropout_key,
                                      (x.shape[0], x.shape[2]),
                                      dropout_rate, 4, x.dtype)

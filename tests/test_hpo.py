@@ -1,0 +1,152 @@
+"""HPO tests: search space, TPE, objective parity, vmapped trials."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.hpo import (STATUS_FAIL, STATUS_OK, Trials,
+                             build_and_optimize, fmin, run_a_trial)
+from deepgrp_tpu.hpo.space import (lognormal, qnormal,
+                                   reference_search_space, sample_space,
+                                   uniform)
+from deepgrp_tpu.hpo.tpe import suggest
+from deepgrp_tpu.hpo.vmapped import run_parallel_trials
+
+
+def test_space_sampling_distributions():
+    rng = np.random.default_rng(0)
+    space = reference_search_space()
+    for _ in range(50):
+        sample = sample_space(space, rng)
+        assert 0 <= sample["dropout"] <= 0.4
+        assert 0 <= sample["repeat_probability"] <= 0.49
+        assert sample["learning_rate"] > 0
+        assert sample["vecsize"] % 2 == 0  # q=2
+        assert sample["units"] % 2 == 0
+
+
+def test_latent_roundtrip():
+    dim = lognormal("lr", -7, 0.5)
+    assert dim.from_latent(dim.to_latent(0.003)) == pytest.approx(0.003)
+    qdim = qnormal("vecsize", 200, 20, 2)
+    assert qdim.from_latent(201.2) == 202.0
+    udim = uniform("x", 0, 1)
+    assert udim.from_latent(1.7) == 1.0  # clipped
+
+
+def test_fmin_minimizes_quadratic():
+    space = {"x": uniform("x", -5, 5)}
+
+    def objective(params):
+        return {"loss": (params["x"] - 2.0) ** 2, "status": STATUS_OK}
+
+    trials = Trials()
+    fmin(objective, space, trials, max_evals=60, seed=0, n_startup=15)
+    best = trials.best_trial()
+    assert abs(best["params"]["x"] - 2.0) < 0.5
+    # TPE should concentrate: late proposals closer to optimum on average
+    xs = [t["params"]["x"] for t in trials.trials]
+    early = np.mean(np.abs(np.array(xs[:15]) - 2.0))
+    late = np.mean(np.abs(np.array(xs[-15:]) - 2.0))
+    assert late < early
+
+
+def test_suggest_ignores_failed_trials():
+    space = {"x": uniform("x", -5, 5)}
+    trials = Trials()
+    for i in range(30):
+        trials.record({"x": float(i % 5)}, {"loss": np.inf,
+                                            "status": STATUS_FAIL})
+    rng = np.random.default_rng(0)
+    # all trials failed (inf loss) -> still in random-startup mode
+    proposal = suggest(space, trials, rng, n_startup=20)
+    assert -5 <= proposal["x"] <= 5
+
+
+def make_tiny_data(seed=0):
+    rng = np.random.default_rng(seed)
+    length = 1500
+    codes = rng.integers(0, 4, size=length)
+    truelbl = np.zeros((3, length), dtype=np.int8)
+    for start in range(100, length - 100, 400):
+        codes[start:start + 80] = 0
+        truelbl[1, start:start + 80] = 1
+    truelbl[0] = truelbl[1:].sum(axis=0) == 0
+    fwd = np.zeros((5, length), dtype=np.int8)
+    fwd[codes, np.arange(length)] = 1
+    return Data(fwd=fwd, truelbl=truelbl)
+
+
+def base_options(tmp_path):
+    return Options(vecsize=20, units=4, batch_size=8, n_epochs=2,
+                   n_batches=2, early_stopping_th=3, dropout=0.0,
+                   repeats_to_search=[1, 2],
+                   project_root_dir=str(tmp_path))
+
+
+def test_build_and_optimize_ok_path(tmp_path):
+    options = base_options(tmp_path)
+    options.n_epochs = 5
+    options.n_batches = 10
+    options.batch_size = 16
+    result = build_and_optimize(make_tiny_data(0), make_tiny_data(1), 10,
+                                options, {"learning_rate": 0.05,
+                                          "vecsize": 20.0, "units": 8.0})
+    assert result["status"] == STATUS_OK
+    assert np.isfinite(result["loss"])
+    assert result["Metrics"] is not None
+    assert result["options"]["vecsize"] == 20  # int coercion
+    assert result["logdir"] is not None
+
+
+def test_build_and_optimize_failure_path(tmp_path):
+    options = base_options(tmp_path)
+    # vecsize larger than the sequence -> sampler/training must fail
+    result = build_and_optimize(make_tiny_data(0), make_tiny_data(1), 10,
+                                options, {"vecsize": 100000})
+    assert result["status"] == STATUS_FAIL
+    assert result["loss"] == np.inf
+    assert result["error"]
+
+
+def test_run_a_trial_resume(tmp_path):
+    space = {"x": uniform("x", 0, 1)}
+    calls = []
+
+    def objective(params):
+        calls.append(params)
+        return {"loss": params["x"], "status": STATUS_OK}
+
+    n = run_a_trial(space, objective, str(tmp_path), 3, seed=0)
+    assert n == 3
+    # resume adds more trials on top of the pickle
+    n = run_a_trial(space, objective, str(tmp_path), 2, seed=1)
+    assert n == 5
+    with open(tmp_path / "results.pkl", "rb") as f:
+        trials = pickle.load(f)
+    assert len(trials) == 5
+
+
+def test_parallel_trials_match_varying_lr(tmp_path):
+    options = base_options(tmp_path)
+    options.n_epochs = 3
+    options.n_batches = 4
+    trial_dicts = [{"learning_rate": 0.01}, {"learning_rate": 1e-6}]
+    results = run_parallel_trials(options, trial_dicts, make_tiny_data(0),
+                                  make_tiny_data(1), seed=0)
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(r["val_loss"])
+        assert r["params"]["dense"]["kernel"].shape == (4, 3)
+    # the near-zero-lr trial should barely learn; the real one should win
+    assert results[0]["val_loss"] < results[1]["val_loss"]
+
+
+def test_parallel_trials_reject_shape_keys(tmp_path):
+    options = base_options(tmp_path)
+    with pytest.raises(ValueError, match="can only vary"):
+        run_parallel_trials(options, [{"vecsize": 30}], make_tiny_data(0),
+                            make_tiny_data(1))
