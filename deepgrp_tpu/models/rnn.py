@@ -128,7 +128,7 @@ def _gru_apply(params: Params, x: jax.Array, *,
         h_new = z * h + (1.0 - z) * hh
         return h_new, h_new
 
-    h0 = jnp.zeros((x.shape[0], units), dtype=x.dtype)
+    h0 = jnp.zeros((x.shape[0], units), dtype=xproj.dtype)
     last, seq = jax.lax.scan(step, h0, xproj.swapaxes(0, 1), unroll=unroll)
     return seq.swapaxes(0, 1), last
 
@@ -176,7 +176,7 @@ def _lstm_apply(params: Params, x: jax.Array, *,
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    zeros = jnp.zeros((x.shape[0], units), dtype=x.dtype)
+    zeros = jnp.zeros((x.shape[0], units), dtype=xproj.dtype)
     (last, _), seq = jax.lax.scan(step, (zeros, zeros),
                                   xproj.swapaxes(0, 1), unroll=unroll)
     return seq.swapaxes(0, 1), last

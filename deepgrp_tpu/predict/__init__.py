@@ -1,7 +1,8 @@
 """Windowed inference engine, MSS application and evaluation metrics."""
 
 from deepgrp_tpu.predict.engine import PredictionEngine, predict
-from deepgrp_tpu.predict.postprocess import (apply_mss, predict_complete,
+from deepgrp_tpu.predict.postprocess import (apply_mss, apply_mss_scored,
+                                             predict_complete,
                                              predict_sequence,
                                              setup_prediction_from_options_checkpoint,
                                              softmax)
@@ -14,6 +15,7 @@ __all__ = [
     "PredictionEngine",
     "predict",
     "apply_mss",
+    "apply_mss_scored",
     "softmax",
     "predict_complete",
     "predict_sequence",

@@ -1,18 +1,24 @@
 """On-device sliding-window prediction engine.
 
 Replaces the reference's host-side generator + per-batch-callback loop
-(``/root/reference/deepgrp/prediction.py:14-37,89-111``) with an HBM-resident
-pipeline: the one-hot chromosome stays on device as ``int8 [L, 5]``; each
-chunk of windows is gathered with ``vmap(dynamic_slice)``, run through the
-RNN forward, merged with the shifted overlap-max, and max-combined into a
-donated genome-length accumulator — all inside a single ``jit`` per chunk.
-Host code only slices chunk indices.
+(``/root/reference/deepgrp/prediction.py:14-37,89-111``) with an
+HBM-resident pipeline compiled into a SINGLE jit per sequence:
 
-Window enumeration parity with the reference
-(``prediction.py:31``): window starts are ``range(0, L - vecsize,
-step_size)`` — note the window starting exactly at ``L - vecsize`` is
-excluded, and sequences with ``L <= vecsize`` produce zero windows (the
-result is then an all-zero probability array).
+  * the one-hot chromosome is reshaped once into ``[blocks, step, 5]``
+    block-rows; a chunk's ``B`` windows (consecutive multiples of ``step``)
+    are materialized as K = ceil(vecsize/step) *contiguous* slab slices —
+    no scattered per-window gathers;
+  * the model forward runs on the chunk, the chunk is overlap-max merged
+    with the shifted-layer formulation (ops/overlap_max.py), and chunks
+    chain through a ``lax.scan`` whose carry is the ``vecsize - step`` row
+    spill into the next chunk's output block — so there is no
+    genome-length read-modify-write accumulator at all;
+  * stacked per-chunk blocks concatenate to the final merged array.
+
+Window enumeration parity with the reference (``prediction.py:31``):
+window starts are ``range(0, L - vecsize, step_size)`` — the window
+starting exactly at ``L - vecsize`` is excluded, and sequences with
+``L <= vecsize`` produce zero windows (the result is then all zeros).
 
 Divergence from the reference (documented): the reference misplaces the
 final partial batch when the window count is not a multiple of the batch
@@ -39,41 +45,70 @@ def window_starts(seq_len: int, vecsize: int, step_size: int) -> np.ndarray:
     return np.arange(0, max(seq_len - vecsize, 0), step_size, dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("model", "step", "span", "compute_dtype"),
-         donate_argnums=(3,))
-def _chunk_step(params, seq: jax.Array, starts: jax.Array, buffer: jax.Array,
-                n_valid: jax.Array, offset: jax.Array, model: DeepGRPModel,
-                step: int, span: int, compute_dtype) -> jax.Array:
-    """Gather, forward, merge and accumulate one chunk of windows.
+def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
+                  k: int, compute_dtype) -> jax.Array:
+    """Materialize one chunk of windows from block-rows.
 
-    Args:
-        params: model parameters.
-        seq: ``int8 [L_padded, 5]`` one-hot sequence (device resident).
-        starts: ``int32 [B]`` window start positions (clamped for padding).
-        buffer: ``float32 [L_buf, C]`` merged-probability accumulator
-            (donated; updated in place by XLA).
-        n_valid: number of real windows in this chunk (rest are padding).
-        offset: position of this chunk's first output row in ``buffer``.
-        model: static model bundle.
-        step: window step size.
-        span: static merged-chunk length ``(B-1)*step + vecsize``.
-        compute_dtype: forward dtype (float32 for parity, bfloat16 for speed).
+    ``seqblocks [n_blocks, step, 5]``; window ``w`` of chunk ``c`` covers
+    block-rows ``c*batch + w .. c*batch + w + k - 1``, so the whole chunk
+    is ``k`` contiguous ``[batch, step, 5]`` slabs concatenated on the
+    time axis and clipped to ``vecsize``.
+    """
+    i0 = chunk_idx * batch
+    slabs = [
+        jax.lax.dynamic_slice(
+            seqblocks, (i0 + j, 0, 0),
+            (batch, seqblocks.shape[1], seqblocks.shape[2]))
+        for j in range(k)
+    ]
+    return jnp.concatenate(slabs, axis=1)[:, :vecsize].astype(compute_dtype)
+
+
+@partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
+                                   "compute_dtype", "score"))
+def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
+                  model: DeepGRPModel, step: int, batch: int, n_chunks: int,
+                  compute_dtype, score: bool = False):
+    """Whole-sequence prediction as one scan over window chunks.
+
+    Returns ``(blocks [n_chunks*batch*step, C], spill [max(V-step,0), C])``,
+    or with ``score=True`` the per-position ``(classes int8, max_prob
+    float32)`` over the concatenated rows — 4x less host transfer, which
+    matters when the chip sits behind a slow link.
     """
     vecsize = model.config.vecsize
+    k = -(-vecsize // step)
+    span = (batch - 1) * step + vecsize
+    block_rows = batch * step
+    spill_rows = span - block_rows  # == vecsize - step, may be <= 0
+    n_classes = model.config.n_classes
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
-    def cut(start):
-        return jax.lax.dynamic_slice(seq, (start, 0), (vecsize, 5))
+    def chunk_fn(spill, chunk_idx):
+        x = chunk_windows(seqblocks, chunk_idx, batch, vecsize, k,
+                          compute_dtype)
+        probs = model.apply(params, x).astype(jnp.float32)
+        w_idx = chunk_idx * batch + jnp.arange(batch)
+        probs = jnp.where((w_idx < n_windows)[:, None, None], probs, 0.0)
+        merged = overlap_max_merge(probs, step, span)
+        block = merged[:block_rows]
+        if spill_rows > 0:
+            head = jnp.maximum(block[:spill_rows], spill)
+            block = jax.lax.dynamic_update_slice(block, head, (0, 0))
+            new_spill = merged[block_rows:]
+        else:
+            new_spill = spill
+        return new_spill, block
 
-    windows = jax.vmap(cut)(starts).astype(compute_dtype)
-    probs = model.apply(params, windows).astype(jnp.float32)
-    # Null out padding windows: the merge is a max against a >= 0 buffer,
-    # so all-zero windows are no-ops.
-    valid = (jnp.arange(probs.shape[0]) < n_valid)[:, None, None]
-    probs = jnp.where(valid, probs, 0.0)
-    merged = overlap_max_merge(probs, step, span)
-    current = jax.lax.dynamic_slice(buffer, (offset, 0), merged.shape)
-    return jax.lax.dynamic_update_slice(buffer, jnp.maximum(current, merged),
-                                        (offset, 0))
+    spill0 = jnp.zeros((max(spill_rows, 0), n_classes), jnp.float32)
+    final_spill, blocks = jax.lax.scan(chunk_fn, spill0,
+                                       jnp.arange(n_chunks))
+    blocks = blocks.reshape(n_chunks * block_rows, n_classes)
+    if score:
+        full = jnp.concatenate([blocks, final_spill], axis=0)
+        return full.argmax(axis=1).astype(jnp.int8), full.max(axis=1)
+    return blocks, final_spill
 
 
 class PredictionEngine:
@@ -82,9 +117,29 @@ class PredictionEngine:
     def __init__(self, model: DeepGRPModel, batch_size: int = 256,
                  step_size: int = 50, compute_dtype=jnp.float32):
         self.model = model
-        self.batch_size = int(batch_size)
         self.step_size = int(step_size)
+        # A chunk's spill must fit inside the next chunk's block:
+        # batch*step >= vecsize - step, i.e. batch >= K - 1.  Chunks are
+        # masked anyway, so raising a degenerate batch size is free.
+        k = -(-model.config.vecsize // self.step_size)
+        self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
+
+    def _prepare_blocks(self, onehot: np.ndarray,
+                        n_chunks: int) -> jax.Array:
+        """Pad and reshape ``[5, L]`` into device ``[n_blocks, step, 5]``."""
+        step = self.step_size
+        vecsize = self.model.config.vecsize
+        k = -(-vecsize // step)
+        n_blocks = n_chunks * self.batch_size + k
+        rows = n_blocks * step
+        seq = onehot.T  # [L, 5], int8
+        if rows > seq.shape[0]:
+            seq = np.pad(seq, ((0, rows - seq.shape[0]), (0, 0)))
+        else:
+            seq = seq[:rows]
+        return jnp.asarray(np.ascontiguousarray(seq), jnp.int8).reshape(
+            n_blocks, step, seq.shape[1])
 
     def predict(self, params, onehot: np.ndarray,
                 out_len: Optional[int] = None) -> np.ndarray:
@@ -100,41 +155,81 @@ class PredictionEngine:
             ``float32 [out_len, n_classes]`` overlap-max merged
             probabilities (zeros where no window coverage).
         """
-        vecsize = self.model.config.vecsize
+        blocks, spill, n_windows = self.predict_device(params, onehot)
+        out_len = onehot.shape[1] if out_len is None else int(out_len)
         n_classes = self.model.config.n_classes
-        step = self.step_size
-        batch = self.batch_size
-        seq_len = onehot.shape[1]
-        out_len = seq_len if out_len is None else int(out_len)
-
-        starts = window_starts(seq_len, vecsize, step)
-        n_windows = starts.size
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
+        return assemble_output(np.asarray(blocks), np.asarray(spill),
+                               out_len, n_classes)
 
-        n_chunks = -(-n_windows // batch)
-        span = (batch - 1) * step + vecsize
-        # Buffer covers every chunk's span; trimmed to out_len at the end.
-        buf_len = max(out_len, (n_chunks - 1) * batch * step + span)
-        # Sequence padded so clamped padding windows stay in bounds.
-        seq = jnp.asarray(onehot.T, dtype=jnp.int8)
-        max_start = int(starts[-1])
-        pad_rows = max(max_start + vecsize - seq_len, 0)
-        if pad_rows:
-            seq = jnp.pad(seq, ((0, pad_rows), (0, 0)))
+    def _n_chunks(self, n_windows: int) -> int:
+        """Chunk count, bucketed to the next power of two.
 
-        buffer = jnp.zeros((buf_len, n_classes), dtype=jnp.float32)
-        padded = np.zeros(n_chunks * batch, dtype=np.int32)
-        padded[:n_windows] = starts
-        padded[n_windows:] = starts[-1]  # clamped; masked out in the kernel
+        Distinct chunk counts compile distinct programs; bucketing bounds
+        the number of compiles across a whole-genome scan to O(log) while
+        masked padding chunks cost little compute.
+        """
+        n_chunks = -(-n_windows // self.batch_size)
+        return 1 << max(n_chunks - 1, 0).bit_length()
 
-        for c in range(n_chunks):
-            chunk = jnp.asarray(padded[c * batch:(c + 1) * batch])
-            n_valid = jnp.int32(min(n_windows - c * batch, batch))
-            offset = jnp.int32(c * batch * step)
-            buffer = _chunk_step(params, seq, chunk, buffer, n_valid, offset,
-                                 self.model, step, span, self.compute_dtype)
-        return np.asarray(buffer[:out_len])
+    def predict_device(self, params, onehot: np.ndarray):
+        """Device-resident variant: returns (blocks, spill, n_windows)."""
+        vecsize = self.model.config.vecsize
+        step = self.step_size
+        starts = window_starts(onehot.shape[1], vecsize, step)
+        n_windows = starts.size
+        if n_windows == 0:
+            return None, None, 0
+        n_chunks = self._n_chunks(n_windows)
+        seqblocks = self._prepare_blocks(onehot, n_chunks)
+        blocks, spill = _scan_predict(params, seqblocks,
+                                      jnp.int32(n_windows), self.model,
+                                      step, self.batch_size, n_chunks,
+                                      self.compute_dtype)
+        return blocks, spill, n_windows
+
+    def predict_scored(self, params,
+                       onehot: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-position ``(classes int8 [L], max_prob float32 [L])``.
+
+        Device-side argmax/max of the merged probabilities — the inputs the
+        MSS scoring transform needs (prediction.py:51-55) with a fraction
+        of the device->host transfer of the full probability matrix.
+        """
+        out_len = onehot.shape[1]
+        vecsize = self.model.config.vecsize
+        step = self.step_size
+        n_windows = window_starts(out_len, vecsize, step).size
+        if n_windows == 0:
+            return (np.zeros(out_len, np.int8), np.zeros(out_len, np.float32))
+        n_chunks = self._n_chunks(n_windows)
+        seqblocks = self._prepare_blocks(onehot, n_chunks)
+        classes, maxp = _scan_predict(params, seqblocks,
+                                      jnp.int32(n_windows), self.model,
+                                      step, self.batch_size, n_chunks,
+                                      self.compute_dtype, score=True)
+        classes = np.asarray(classes)
+        maxp = np.asarray(maxp)
+        out_classes = np.zeros(out_len, np.int8)
+        out_maxp = np.zeros(out_len, np.float32)
+        n_rows = min(out_len, classes.shape[0])
+        out_classes[:n_rows] = classes[:n_rows]
+        out_maxp[:n_rows] = maxp[:n_rows]
+        return out_classes, out_maxp
+
+
+def assemble_output(blocks: np.ndarray, spill: np.ndarray, out_len: int,
+                    n_classes: int) -> np.ndarray:
+    """Concatenate scan blocks + final spill and fit to ``out_len``."""
+    out = np.zeros((out_len, n_classes), dtype=np.float32)
+    n_rows = min(out_len, blocks.shape[0])
+    out[:n_rows] = blocks[:n_rows]
+    lo = blocks.shape[0]
+    hi = min(lo + spill.shape[0], out_len)
+    if hi > lo:
+        out[lo:hi] = np.maximum(out[lo:hi], spill[:hi - lo])
+    return out
 
 
 def predict(model: DeepGRPModel, params, onehot: np.ndarray,

@@ -37,6 +37,23 @@ def apply_mss(probs: np.ndarray, options: Options) -> np.ndarray:
                                options.xdrop_len)
 
 
+def apply_mss_scored(classes: np.ndarray, maxp: np.ndarray,
+                     options: Options, nof_labels: int) -> np.ndarray:
+    """``apply_mss`` from device-computed argmax/max instead of full probs.
+
+    Bit-identical to :func:`apply_mss`: the reference computes the score
+    transform on the float32 row maxima (prediction.py:53-57, numpy keeps
+    float32 until the final cast), so transferring only ``max(axis=1)``
+    and ``argmax(axis=1)`` loses nothing.
+    """
+    mins = maxp + np.float32(1e-6)
+    mins = np.where(mins > 0.99, np.float32(0.99), mins)
+    t_scores = np.log(mins / (1 - mins))
+    scores = np.where(classes > 0, t_scores, -10 * t_scores).astype(float)
+    return mss.find_mss_labels(scores, classes.astype(np.int64), nof_labels,
+                               options.min_mss_len, options.xdrop_len)
+
+
 def softmax(array: np.ndarray) -> np.ndarray:
     """Reference softmax (prediction.py:62-65): global max subtraction."""
     e_x = np.exp(array - np.max(array))
@@ -45,16 +62,23 @@ def softmax(array: np.ndarray) -> np.ndarray:
 
 def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
                      options: Options, step_size: int,
-                     use_mss: bool) -> np.ndarray:
+                     use_mss: bool,
+                     engine: Optional[PredictionEngine] = None) -> np.ndarray:
     """One-hot sequence -> per-position class array (CLI ``_predict`` core,
-    __main__.py:46-83)."""
-    engine = PredictionEngine(model, batch_size=options.batch_size,
-                              step_size=step_size)
-    probs = engine.predict(params, onehot)
+    __main__.py:46-83).
+
+    The MSS path uses the transfer-light device scoring; the softmax path
+    needs the full probability matrix.
+    """
+    if engine is None:
+        engine = PredictionEngine(model, batch_size=options.batch_size,
+                                  step_size=step_size)
     if use_mss:
-        out = apply_mss(probs, options)
+        classes, maxp = engine.predict_scored(params, onehot)
+        out = apply_mss_scored(classes, maxp, options,
+                               model.config.n_classes)
     else:
-        out = softmax(probs)
+        out = softmax(engine.predict(params, onehot))
     return np.asanyarray(out.argmax(axis=1))
 
 

@@ -85,6 +85,31 @@ def test_engine_zero_windows(small_model):
     np.testing.assert_array_equal(out, np.zeros((20, 5), np.float32))
 
 
+def test_predict_scored_matches_full(small_model, random_dna):
+    from deepgrp_tpu.predict import apply_mss_scored
+
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(400, alphabet="ACGT", seed=11))
+    engine = PredictionEngine(model, batch_size=7, step_size=10)
+    probs = engine.predict(params, onehot)
+    classes, maxp = engine.predict_scored(params, onehot)
+    np.testing.assert_array_equal(classes, probs.argmax(axis=1))
+    np.testing.assert_array_equal(maxp, probs.max(axis=1))
+    # the transfer-light MSS path is bit-identical to the full-probs path
+    np.testing.assert_array_equal(
+        apply_mss_scored(classes, maxp, options, 5),
+        apply_mss(probs, options))
+
+
+def test_predict_scored_zero_windows(small_model):
+    options, model, params = small_model
+    engine = PredictionEngine(model, batch_size=4, step_size=10)
+    classes, maxp = engine.predict_scored(params, np.zeros((5, 10), np.int8))
+    np.testing.assert_array_equal(classes, np.zeros(10, np.int8))
+    np.testing.assert_array_equal(maxp, np.zeros(10, np.float32))
+
+
 def test_apply_mss_scoring():
     # Confident repeat block inside background.
     n = 300
