@@ -64,24 +64,22 @@ def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
     return jnp.concatenate(slabs, axis=1)[:, :vecsize].astype(compute_dtype)
 
 
-@partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
-                                   "compute_dtype", "score"))
-def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
-                  model: DeepGRPModel, step: int, batch: int, n_chunks: int,
-                  compute_dtype, score: bool = False):
-    """Whole-sequence prediction as one scan over window chunks.
+def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
+                     spill0, model: DeepGRPModel, step: int, batch: int,
+                     n_chunks: int, compute_dtype):
+    """Scan chunks ``chunk0 .. chunk0 + n_chunks`` (traceable core).
 
-    Returns ``(blocks [n_chunks*batch*step, C], spill [max(V-step,0), C])``,
-    or with ``score=True`` the per-position ``(classes int8, max_prob
-    float32)`` over the concatenated rows — 4x less host transfer, which
-    matters when the chip sits behind a slow link.
+    ``spill0`` is the overlap carried into the first chunk's block head
+    (``[max(vecsize-step, 0), C]``).  Returns ``(blocks
+    [n_chunks*batch*step, C], final_spill)``.  Also used per-device inside
+    the sharded engine's ``shard_map`` (chunk0 then derives from the device
+    index and spill flows over ICI).
     """
     vecsize = model.config.vecsize
     k = -(-vecsize // step)
     span = (batch - 1) * step + vecsize
     block_rows = batch * step
     spill_rows = span - block_rows  # == vecsize - step, may be <= 0
-    n_classes = model.config.n_classes
     if compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
@@ -101,10 +99,32 @@ def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
             new_spill = spill
         return new_spill, block
 
-    spill0 = jnp.zeros((max(spill_rows, 0), n_classes), jnp.float32)
     final_spill, blocks = jax.lax.scan(chunk_fn, spill0,
-                                       jnp.arange(n_chunks))
-    blocks = blocks.reshape(n_chunks * block_rows, n_classes)
+                                       chunk0 + jnp.arange(n_chunks))
+    n_classes = model.config.n_classes
+    return blocks.reshape(n_chunks * block_rows, n_classes), final_spill
+
+
+def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
+    spill_rows = max(model.config.vecsize - step, 0)
+    return jnp.zeros((spill_rows, model.config.n_classes), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
+                                   "compute_dtype", "score"))
+def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
+                  model: DeepGRPModel, step: int, batch: int, n_chunks: int,
+                  compute_dtype, score: bool = False):
+    """Whole-sequence prediction as one scan over window chunks.
+
+    Returns ``(blocks [n_chunks*batch*step, C], spill [max(V-step,0), C])``,
+    or with ``score=True`` the per-position ``(classes int8, max_prob
+    float32)`` over the concatenated rows — 4x less host transfer, which
+    matters when the chip sits behind a slow link.
+    """
+    blocks, final_spill = scan_chunk_range(
+        params, seqblocks, n_windows, jnp.int32(0), make_spill0(model, step),
+        model, step, batch, n_chunks, compute_dtype)
     if score:
         full = jnp.concatenate([blocks, final_spill], axis=0)
         return full.argmax(axis=1).astype(jnp.int8), full.max(axis=1)
@@ -127,19 +147,9 @@ class PredictionEngine:
 
     def _prepare_blocks(self, onehot: np.ndarray,
                         n_chunks: int) -> jax.Array:
-        """Pad and reshape ``[5, L]`` into device ``[n_blocks, step, 5]``."""
-        step = self.step_size
-        vecsize = self.model.config.vecsize
-        k = -(-vecsize // step)
-        n_blocks = n_chunks * self.batch_size + k
-        rows = n_blocks * step
-        seq = onehot.T  # [L, 5], int8
-        if rows > seq.shape[0]:
-            seq = np.pad(seq, ((0, rows - seq.shape[0]), (0, 0)))
-        else:
-            seq = seq[:rows]
-        return jnp.asarray(np.ascontiguousarray(seq), jnp.int8).reshape(
-            n_blocks, step, seq.shape[1])
+        return prepare_blocks(onehot, self.step_size,
+                              self.model.config.vecsize, self.batch_size,
+                              n_chunks)
 
     def predict(self, params, onehot: np.ndarray,
                 out_len: Optional[int] = None) -> np.ndarray:
@@ -217,6 +227,21 @@ class PredictionEngine:
         out_classes[:n_rows] = classes[:n_rows]
         out_maxp[:n_rows] = maxp[:n_rows]
         return out_classes, out_maxp
+
+
+def prepare_blocks(onehot: np.ndarray, step: int, vecsize: int, batch: int,
+                   n_chunks: int) -> jax.Array:
+    """Pad and reshape ``[5, L]`` into device ``[n_blocks, step, 5]``."""
+    k = -(-vecsize // step)
+    n_blocks = n_chunks * batch + k
+    rows = n_blocks * step
+    seq = onehot.T  # [L, 5], int8
+    if rows > seq.shape[0]:
+        seq = np.pad(seq, ((0, rows - seq.shape[0]), (0, 0)))
+    else:
+        seq = seq[:rows]
+    return jnp.asarray(np.ascontiguousarray(seq), jnp.int8).reshape(
+        n_blocks, step, seq.shape[1])
 
 
 def assemble_output(blocks: np.ndarray, spill: np.ndarray, out_len: int,
