@@ -54,6 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Accepted for compatibility (always XLA)")
     parser.add_argument("-v", "--verbose", action="count", default=0,
                         help="Increase verbosity")
+    parser.add_argument("--precision", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Inference compute dtype (float32 matches the "
+                        "reference bit-for-bit; bfloat16 is faster)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a JAX profiler trace into DIR "
+                        "(view with TensorBoard/Perfetto)")
+    parser.add_argument("--compile-cache", type=str, default=None,
+                        metavar="DIR",
+                        help="Persistent XLA compilation cache directory")
 
     subparsers = parser.add_subparsers(help="sub-command help",
                                        dest="command")
@@ -116,22 +126,47 @@ def options_from_args(args: argparse.Namespace):
                    xdrop_len=args.xdrop_length)
 
 
+def _apply_jax_flags(args: argparse.Namespace) -> None:
+    import jax
+
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+
+def _stop_profile(args: argparse.Namespace) -> None:
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        _LOG.info("profiler trace written to %s", args.profile)
+
+
 def cmd_predict(args: argparse.Namespace, options) -> None:
     import jax
+    import jax.numpy as jnp
 
     from deepgrp_tpu.data.fasta import read_multi_fasta
     from deepgrp_tpu.models.keras_io import load_model
     from deepgrp_tpu.models.model import DeepGRPModel
     from deepgrp_tpu.ops.encoding import one_hot_encode_dna_sequence
     from deepgrp_tpu.ops.segments import yield_segments
+    from deepgrp_tpu.predict.engine import PredictionEngine
     from deepgrp_tpu.predict.postprocess import predict_sequence
 
+    _apply_jax_flags(args)
     _LOG.debug("Loading model %s", args.model)
     config, params = load_model(args.model)
     options.vecsize = config.vecsize  # vecsize from the model (parity)
     model = DeepGRPModel(config)
     params = jax.device_put(params)
     _LOG.info("Model loading finished successfully!")
+
+    dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
+    engine = PredictionEngine(model, batch_size=options.batch_size,
+                              step_size=args.step_size, compute_dtype=dtype)
 
     outstream = sys.stdout if args.output == "-" else open(args.output, "w")
     try:
@@ -144,7 +179,7 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
                         dnasequence)
                     predictions = predict_sequence(
                         model, params, onehot, options, args.step_size,
-                        use_mss=not args.no_use_mss)
+                        use_mss=not args.no_use_mss, engine=engine)
                     for segment in yield_segments(predictions, startpos):
                         if segment[2] > 0:
                             outstream.write("{}\t{}\t{}\t{}\t{}\n".format(
@@ -155,9 +190,11 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
     finally:
         if args.output != "-":
             outstream.close()
+        _stop_profile(args)
 
 
 def cmd_train(args: argparse.Namespace, options) -> None:
+    _apply_jax_flags(args)
     from deepgrp_tpu.config import Options
     from deepgrp_tpu.data import preprocess as dgpreprocess
     from deepgrp_tpu.models.keras_io import save_model_npz
@@ -206,6 +243,7 @@ def cmd_train(args: argparse.Namespace, options) -> None:
 
     _LOG.info("Saving model as %s", args.modelfile)
     save_model_npz(args.modelfile, model.config, best_params)
+    _stop_profile(args)
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -174,14 +174,16 @@ class PredictionEngine:
                                out_len, n_classes)
 
     def _n_chunks(self, n_windows: int) -> int:
-        """Chunk count, bucketed to the next power of two.
+        """Chunk count, bucketed to the next multiple of 8 (above 8).
 
         Distinct chunk counts compile distinct programs; bucketing bounds
-        the number of compiles across a whole-genome scan to O(log) while
-        masked padding chunks cost little compute.
+        the number of distinct programs across a whole-genome scan while
+        masked padding chunks waste at most ~17% compute.
         """
         n_chunks = -(-n_windows // self.batch_size)
-        return 1 << max(n_chunks - 1, 0).bit_length()
+        if n_chunks <= 8:
+            return n_chunks
+        return -(-n_chunks // 8) * 8
 
     def predict_device(self, params, onehot: np.ndarray):
         """Device-resident variant: returns (blocks, spill, n_windows)."""
