@@ -19,7 +19,7 @@ _LOG = logging.getLogger(__name__)
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libdeepgrp_native.so")
-_SOURCES = ("mss.cc", "encode.cc")
+_SOURCES = ("mss.cc", "mss_parallel.cc", "encode.cc")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -40,7 +40,7 @@ def _compile() -> bool:
     sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     cmd = [
         "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
-        "-o", _LIB_PATH, *sources,
+        "-pthread", "-o", _LIB_PATH, *sources,
     ]
     try:
         result = subprocess.run(cmd, capture_output=True, text=True,
@@ -74,6 +74,18 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.dg_mss_find_all_mt.restype = ctypes.c_int64
+    lib.dg_mss_find_all_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int32, ctypes.POINTER(DgSegment),
+        ctypes.c_int64,
+    ]
+    lib.dg_find_mss_labels_mt.restype = None
+    lib.dg_find_mss_labels_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
     ]
     lib.dg_trim_n.restype = None
     lib.dg_trim_n.argtypes = [

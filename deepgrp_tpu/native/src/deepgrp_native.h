@@ -53,6 +53,17 @@ void dg_find_mss_labels(const double *scores, const int64_t *labels,
                         int64_t n, int32_t n_labels, int32_t min_mss_len,
                         int32_t xdrop_len, double *one_hot_out);
 
+/* Exact multithreaded variants (see mss_parallel.cc for the reset-point
+ * block-decomposition argument; outputs are identical to the sequential
+ * functions for every input). */
+int64_t dg_mss_find_all_mt(const double *scores, int64_t n, double min_score,
+                           double xdrop, int32_t n_threads, DgSegment *out,
+                           int64_t capacity);
+void dg_find_mss_labels_mt(const double *scores, const int64_t *labels,
+                           int64_t n, int32_t n_labels, int32_t min_mss_len,
+                           int32_t xdrop_len, int32_t n_threads,
+                           double *one_hot_out);
+
 /* Number of leading (from `*start`) and trailing (before `*end`) 'N' bytes
  * trimmed: on return [*start, *end) is the kept range of seq[0..n). */
 void dg_trim_n(const char *seq, int64_t n, int64_t *start, int64_t *end);

@@ -27,24 +27,37 @@ from deepgrp_tpu import native
 _NEG_INF = -1e30
 
 
-def mss_find_all(scores: np.ndarray, min_score: float,
-                 xdrop: float) -> np.ndarray:
+def default_threads(n: int) -> int:
+    """Worker count for the exact-parallel MSS (1 below ~1 Mbp)."""
+    if n < (1 << 20):
+        return 1
+    import os
+    return min(os.cpu_count() or 1, 16)
+
+
+def mss_find_all(scores: np.ndarray, min_score: float, xdrop: float,
+                 threads: int = 0) -> np.ndarray:
     """All maximal scoring subsequences of ``scores``.
 
     Returns a structured array with fields ``start``, ``end`` (exclusive)
     and ``score``; only segments with score >= trunc(min_score) are
-    reported (mss.c:35 truncates the threshold to int).
+    reported (mss.c:35 truncates the threshold to int).  ``threads``
+    enables the exact block-parallel implementation (0 = auto); the output
+    is identical for any thread count.
     """
     scores = np.ascontiguousarray(scores, dtype=np.float64)
     lib = native.load()
     if lib is None:
         segs = _mss_find_all_py(scores, min_score, xdrop)
     else:
+        if threads <= 0:
+            threads = default_threads(scores.size)
         capacity = scores.size // 2 + 1
         buf = (native.DgSegment * capacity)()
-        count = lib.dg_mss_find_all(
+        count = lib.dg_mss_find_all_mt(
             scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            scores.size, float(min_score), float(xdrop), buf, capacity)
+            scores.size, float(min_score), float(xdrop), threads, buf,
+            capacity)
         segs = [(buf[i].start, buf[i].end, buf[i].score)
                 for i in range(min(count, capacity))]
     out = np.zeros(len(segs), dtype=[("start", np.int64), ("end", np.int64),
@@ -55,7 +68,8 @@ def mss_find_all(scores: np.ndarray, min_score: float,
 
 
 def find_mss_labels(scores: np.ndarray, labels: np.ndarray, nof_labels: int,
-                    min_mss_len: int, xdrop_len: int) -> np.ndarray:
+                    min_mss_len: int, xdrop_len: int,
+                    threads: int = 0) -> np.ndarray:
     """Assign labels to maximum scoring segments (pymss.pyx:16-27 parity).
 
     Args:
@@ -64,6 +78,8 @@ def find_mss_labels(scores: np.ndarray, labels: np.ndarray, nof_labels: int,
         nof_labels: number of classes (background included).
         min_mss_len: minimal segment length (in units of the s0 score).
         xdrop_len: X-drop length; <= 0 disables the X-drop reset.
+        threads: workers for the exact-parallel segment search (0 = auto;
+            identical output for any value).
 
     Returns:
         float64 ``[n, nof_labels]`` one-hot labeling.
@@ -75,10 +91,12 @@ def find_mss_labels(scores: np.ndarray, labels: np.ndarray, nof_labels: int,
     out = np.zeros((scores.size, nof_labels), dtype=np.float64)
     lib = native.load()
     if lib is not None:
-        lib.dg_find_mss_labels(
+        if threads <= 0:
+            threads = default_threads(scores.size)
+        lib.dg_find_mss_labels_mt(
             scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            scores.size, nof_labels, min_mss_len, xdrop_len,
+            scores.size, nof_labels, min_mss_len, xdrop_len, threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return out
     _find_mss_labels_py(scores, labels, nof_labels, min_mss_len, xdrop_len,

@@ -134,6 +134,48 @@ def test_labels_native_matches_python(seed):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("threads", [2, 4, 7])
+def test_multithreaded_identical_to_sequential(seed, threads):
+    """The reset-point block decomposition must be EXACT for any thread
+    count (see native/src/mss_parallel.cc for the proof sketch)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(300 + seed)
+    # >= 2^16 positions so the mt path actually splits; realistic score mix
+    n = 1 << 17
+    scores = random_scores(rng, n)
+    st = mss.mss_find_all(scores, S0 * 50, S0 * 50 * 10, threads=1)
+    mt = mss.mss_find_all(scores, S0 * 50, S0 * 50 * 10, threads=threads)
+    assert len(st) == len(mt)
+    np.testing.assert_array_equal(st["start"], mt["start"])
+    np.testing.assert_array_equal(st["end"], mt["end"])
+    np.testing.assert_array_equal(st["score"], mt["score"])
+
+
+def test_multithreaded_labels_identical():
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    n = 1 << 17
+    scores = random_scores(rng, n)
+    labels = rng.integers(0, 5, size=n)
+    st = mss.find_mss_labels(scores, labels, 5, 50, 50, threads=1)
+    mt = mss.find_mss_labels(scores, labels, 5, 50, 50, threads=8)
+    np.testing.assert_array_equal(st, mt)
+
+
+def test_multithreaded_no_xdrop_falls_back():
+    # xdrop disabled -> no provable reset points -> must still be correct
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(8)
+    scores = random_scores(rng, 1 << 17)
+    st = mss.mss_find_all(scores, S0 * 20, -1.0, threads=1)
+    mt = mss.mss_find_all(scores, S0 * 20, -1.0, threads=8)
+    np.testing.assert_array_equal(st["start"], mt["start"])
+
+
 def test_empty_input():
     segs = mss.mss_find_all(np.array([]), 1.0, -1.0)
     assert len(segs) == 0
