@@ -129,12 +129,28 @@ class Trainer:
 
     def fit(self, train_data: Data, val_data: Data, params=None,
             seed: int = 0,
-            callbacks: Optional[List[MetricCallback]] = None
+            callbacks: Optional[List[MetricCallback]] = None,
+            resume: bool = False,
+            stop_on_nan: bool = True
             ) -> Tuple[Any, Dict[str, List[float]]]:
-        """Run the full training loop; returns (best_params, history)."""
+        """Run the full training loop; returns (best_params, history).
+
+        ``resume=True`` restarts from the latest checkpoint in ``logdir``
+        if one exists (optimizer state starts fresh, like the reference's
+        restore-weights workflow, prediction.py:81-86).  ``stop_on_nan``
+        aborts the epoch loop on a non-finite training loss and restores
+        the best weights (failure containment; the reference only catches
+        this at HPO level, optimization.py:99-101).
+        """
         options = self.options
         model = self.model
         key = jax.random.PRNGKey(seed)
+        if params is None and resume:
+            latest = self.checkpoints.latest_path()
+            if latest is not None:
+                from deepgrp_tpu.train.checkpoint import load_params
+                params = load_params(latest)
+                _LOG.info("resumed parameters from %s", latest)
         if params is None:
             key, init_key = jax.random.split(key)
             params = model.init(init_key)
@@ -163,6 +179,12 @@ class Trainer:
                     self.optimizer, options.vecsize)
                 losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(losses)))
+
+            if stop_on_nan and not np.isfinite(train_loss):
+                _LOG.warning(
+                    "non-finite training loss at epoch %d; stopping and "
+                    "restoring best weights", epoch)
+                break
 
             key, val_key = jax.random.split(key)
             val_x, val_y = val_sampler.batch(val_key)

@@ -121,6 +121,46 @@ def test_training_loop_learns_and_checkpoints(tmp_path):
     assert best_params is not None
 
 
+def test_trainer_nan_guard(tmp_path):
+    from deepgrp_tpu.models import create_model as cm
+    from deepgrp_tpu.train.training import Trainer
+
+    options = Options(vecsize=20, units=4, batch_size=8, n_epochs=50,
+                      n_batches=2, early_stopping_th=20, dropout=0.0,
+                      repeats_to_search=[1, 2], learning_rate=1e6)
+    data = make_data(seed=0)
+    trainer = Trainer(cm(options), options, tmp_path)
+    try:
+        _, history = trainer.fit(data, data, stop_on_nan=True)
+    finally:
+        trainer.writer.close()
+    # must abort long before n_epochs once the loss blows up
+    assert len(history["loss"]) < 50
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    from deepgrp_tpu.models import create_model as cm
+    from deepgrp_tpu.train.checkpoint import load_params
+    from deepgrp_tpu.train.training import Trainer
+
+    options = Options(vecsize=20, units=4, batch_size=8, n_epochs=2,
+                      n_batches=2, early_stopping_th=5, dropout=0.0,
+                      repeats_to_search=[1, 2])
+    data = make_data(seed=0)
+    trainer = Trainer(cm(options), options, tmp_path)
+    try:
+        best1, _ = trainer.fit(data, data, seed=0)
+    finally:
+        trainer.writer.close()
+
+    trainer2 = Trainer(cm(options), options, tmp_path)
+    try:
+        best2, history2 = trainer2.fit(data, data, seed=1, resume=True)
+    finally:
+        trainer2.writer.close()
+    assert len(history2["loss"]) == 2  # ran again, starting from best1
+
+
 def test_training_early_stopping(tmp_path):
     options = Options(vecsize=20, units=4, batch_size=8, n_epochs=50,
                       n_batches=2, early_stopping_th=2, dropout=0.0,
