@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="deepgrp_tpu",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
         description="DeepGRP-TPU - Prediction of repetitive elements")
+    from deepgrp_tpu import __version__
+
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {__version__}")
     parser.add_argument("--batch_size", "-b", type=int, default=256,
                         help="Batch size to use for prediction")
     parser.add_argument("--step_size", "-s", type=int, default=50,
@@ -102,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
                          help="Output filename")
     predict.add_argument("--no_use_mss", "-m", action="store_true",
                          help="Disable maximum scoring segment algorithm")
+    predict.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                         help="Shard the window stream across all visible "
+                         "devices (auto: when more than one device)")
     return parser
 
 
@@ -165,8 +172,18 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
     _LOG.info("Model loading finished successfully!")
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else jnp.float32
-    engine = PredictionEngine(model, batch_size=options.batch_size,
-                              step_size=args.step_size, compute_dtype=dtype)
+    if args.mesh == "auto" and len(jax.devices()) > 1:
+        from deepgrp_tpu.parallel import ShardedPredictionEngine, make_mesh
+
+        _LOG.info("sharding windows across %d devices", len(jax.devices()))
+        engine = ShardedPredictionEngine(model, make_mesh(),
+                                         batch_size=options.batch_size,
+                                         step_size=args.step_size,
+                                         compute_dtype=dtype)
+    else:
+        engine = PredictionEngine(model, batch_size=options.batch_size,
+                                  step_size=args.step_size,
+                                  compute_dtype=dtype)
 
     outstream = sys.stdout if args.output == "-" else open(args.output, "w")
     try:

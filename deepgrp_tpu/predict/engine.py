@@ -89,7 +89,9 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
         probs = model.apply(params, x).astype(jnp.float32)
         w_idx = chunk_idx * batch + jnp.arange(batch)
         probs = jnp.where((w_idx < n_windows)[:, None, None], probs, 0.0)
-        merged = overlap_max_merge(probs, step, span)
+        # When step > vecsize windows leave gaps; pad the merge to the full
+        # block so uncovered rows come out as zeros.
+        merged = overlap_max_merge(probs, step, max(span, block_rows))
         block = merged[:block_rows]
         if spill_rows > 0:
             head = jnp.maximum(block[:spill_rows], spill)

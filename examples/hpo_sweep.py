@@ -45,9 +45,20 @@ def main():
     parser.add_argument("--step-size", type=int, default=50)
     parser.add_argument("--parallel", type=int, default=0,
                         help="N simultaneous vmapped trials (0 = TPE)")
+    parser.add_argument("--config", default=None,
+                        help="TOML base config (default: reference defaults)")
+    parser.add_argument("--space", choices=["reference", "quick"],
+                        default="reference",
+                        help="'quick' varies only learning_rate/dropout "
+                        "(keeps the base architecture; fast smoke sweeps)")
     args = parser.parse_args()
 
-    options = Options(project_root_dir=args.root)
+    if args.config:
+        with open(args.config) as f:
+            options = Options.from_toml(f)
+        options.project_root_dir = args.root
+    else:
+        options = Options(project_root_dir=args.root)
     train_data = load_chromosome(args.trainfile, args.bedfile,
                                  options.repeats_to_search)
     val_data = load_chromosome(args.validfile, args.bedfile,
@@ -73,7 +84,12 @@ def main():
 
     objective = functools.partial(build_and_optimize, train_data, val_data,
                                   args.step_size, options)
-    space = reference_search_space()
+    if args.space == "quick":
+        from deepgrp_tpu.hpo.space import lognormal, uniform
+        space = {"learning_rate": lognormal("learning_rate", -5, 1.0),
+                 "dropout": uniform("dropout", 0, 0.3)}
+    else:
+        space = reference_search_space()
     done = 0
     while done < args.trials:
         # save/resume every save_step trials (notebook workflow)

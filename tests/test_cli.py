@@ -126,6 +126,21 @@ def test_cli_default_toml_precedence_quirk(tmp_path):
     assert parameter.min_mss_len == 40
 
 
+def test_predict_mesh_matches_single(tmp_path, tiny_model_file, dummy_fasta):
+    import jax as _jax
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    fasta_path = dummy_fasta(name="mesh.fa", n_records=2, length=500)
+    single = str(tmp_path / "single.tsv")
+    meshed = str(tmp_path / "meshed.tsv")
+    cli.main(["-s", "10", "predict", tiny_model_file, fasta_path,
+              "--mesh", "off", "--output", single])
+    cli.main(["-s", "10", "predict", tiny_model_file, fasta_path,
+              "--mesh", "auto", "--output", meshed])
+    assert open(single).read() == open(meshed).read()
+    assert open(single).read()  # non-empty
+
+
 def test_cli_no_command_exits(capsys):
     with pytest.raises(SystemExit):
         cli.main([])

@@ -77,6 +77,19 @@ def test_engine_partial_batch_placement(small_model, random_dna):
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+def test_engine_step_larger_than_vecsize(small_model, random_dna):
+    # step > vecsize: windows leave uncovered gaps that must stay zero
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(700, alphabet="ACGT", seed=3))
+    engine = PredictionEngine(model, batch_size=4, step_size=50)  # V=30
+    got = engine.predict(params, onehot)
+    expected = reference_style_predict(model, params, onehot, 50, 4)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # gap rows (between window coverage) are zero
+    assert (got[30:50] == 0).all()
+
+
 def test_engine_zero_windows(small_model):
     options, model, params = small_model
     onehot = np.zeros((5, 20), dtype=np.int8)
