@@ -119,9 +119,16 @@ def set_logging(verbose: int) -> None:
 
 
 def setup_runtime(threads: int) -> None:
-    """Bound host-side thread pools (TPU compute is unaffected)."""
+    """Bound host-side thread pools (TPU compute is unaffected).
+
+    ``--threads N>0`` caps the MSS workers and OMP pools at N (reference
+    semantics: the flag sized TF's host pools); ``--threads 0`` = all.
+    """
+    from deepgrp_tpu.ops.mss import set_default_threads
+
     if threads > 0:
         os.environ.setdefault("OMP_NUM_THREADS", str(threads))
+        set_default_threads(threads)
 
 
 def options_from_args(args: argparse.Namespace):

@@ -27,8 +27,23 @@ from deepgrp_tpu import native
 _NEG_INF = -1e30
 
 
+_DEFAULT_THREADS = 0  # 0 = auto
+
+
+def set_default_threads(n: int) -> None:
+    """Set the process-wide default MSS worker count (0 = auto).
+
+    The CLI maps its ``--threads`` flag here (the reference maps the same
+    flag onto TF's host thread pools, __main__.py:221-233).
+    """
+    global _DEFAULT_THREADS
+    _DEFAULT_THREADS = int(n)
+
+
 def default_threads(n: int) -> int:
     """Worker count for the exact-parallel MSS (1 below ~1 Mbp)."""
+    if _DEFAULT_THREADS > 0:
+        return _DEFAULT_THREADS
     if n < (1 << 20):
         return 1
     import os

@@ -66,14 +66,18 @@ def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
 
 def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
                      spill0, model: DeepGRPModel, step: int, batch: int,
-                     n_chunks: int, compute_dtype):
+                     n_chunks: int, compute_dtype, score: bool = False):
     """Scan chunks ``chunk0 .. chunk0 + n_chunks`` (traceable core).
 
     ``spill0`` is the overlap carried into the first chunk's block head
     (``[max(vecsize-step, 0), C]``).  Returns ``(blocks
-    [n_chunks*batch*step, C], final_spill)``.  Also used per-device inside
-    the sharded engine's ``shard_map`` (chunk0 then derives from the device
-    index and spill flows over ICI).
+    [n_chunks*batch*step, C], final_spill)`` — or, with ``score=True``,
+    ``(classes int8 [rows], maxp float32 [rows], final_spill)``, where the
+    per-position argmax/max is taken inside the scan so the genome-length
+    f32 probability blocks never materialize (a chr1-scale scan would
+    otherwise hold ~5 GB in HBM).  Also used per-device inside the sharded
+    engine's ``shard_map`` (chunk0 then derives from the device index and
+    spill flows over ICI).
     """
     vecsize = model.config.vecsize
     k = -(-vecsize // step)
@@ -99,12 +103,19 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
             new_spill = merged[block_rows:]
         else:
             new_spill = spill
+        if score:
+            return new_spill, (block.argmax(axis=1).astype(jnp.int8),
+                               block.max(axis=1))
         return new_spill, block
 
-    final_spill, blocks = jax.lax.scan(chunk_fn, spill0,
-                                       chunk0 + jnp.arange(n_chunks))
+    final_spill, ys = jax.lax.scan(chunk_fn, spill0,
+                                   chunk0 + jnp.arange(n_chunks))
+    rows = n_chunks * block_rows
+    if score:
+        classes, maxp = ys
+        return classes.reshape(rows), maxp.reshape(rows), final_spill
     n_classes = model.config.n_classes
-    return blocks.reshape(n_chunks * block_rows, n_classes), final_spill
+    return ys.reshape(rows, n_classes), final_spill
 
 
 def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
@@ -124,13 +135,20 @@ def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
     float32)`` over the concatenated rows — 4x less host transfer, which
     matters when the chip sits behind a slow link.
     """
-    blocks, final_spill = scan_chunk_range(
+    if score:
+        classes, maxp, final_spill = scan_chunk_range(
+            params, seqblocks, n_windows, jnp.int32(0),
+            make_spill0(model, step), model, step, batch, n_chunks,
+            compute_dtype, score=True)
+        # Append the spill rows' scores (no further chunk can touch them).
+        if final_spill.shape[0]:
+            classes = jnp.concatenate(
+                [classes, final_spill.argmax(axis=1).astype(jnp.int8)])
+            maxp = jnp.concatenate([maxp, final_spill.max(axis=1)])
+        return classes, maxp
+    return scan_chunk_range(
         params, seqblocks, n_windows, jnp.int32(0), make_spill0(model, step),
         model, step, batch, n_chunks, compute_dtype)
-    if score:
-        full = jnp.concatenate([blocks, final_spill], axis=0)
-        return full.argmax(axis=1).astype(jnp.int8), full.max(axis=1)
-    return blocks, final_spill
 
 
 class PredictionEngine:
