@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     predict.add_argument("--mesh", choices=["auto", "off"], default="auto",
                          help="Shard the window stream across all visible "
                          "devices (auto: when more than one device)")
+    predict.add_argument("--device-mss", action="store_true",
+                         help="Run the MSS post-processing on device too "
+                         "(all-on-chip path; only class labels are "
+                         "transferred). Single-device engine only.")
     return parser
 
 
@@ -203,7 +207,8 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
                         dnasequence)
                     predictions = predict_sequence(
                         model, params, onehot, options, args.step_size,
-                        use_mss=not args.no_use_mss, engine=engine)
+                        use_mss=not args.no_use_mss, engine=engine,
+                        device_mss=getattr(args, "device_mss", False))
                     for segment in yield_segments(predictions, startpos):
                         if segment[2] > 0:
                             outstream.write("{}\t{}\t{}\t{}\t{}\n".format(

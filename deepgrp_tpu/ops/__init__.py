@@ -8,6 +8,10 @@ transforms.
 
 from deepgrp_tpu.ops.encoding import one_hot_encode_dna_sequence
 from deepgrp_tpu.ops.mss import find_mss_labels, mss_find_all
+from deepgrp_tpu.ops.mss_device import (find_mss_labels_device,
+                                        mss_classes_device,
+                                        mss_classes_from_scored,
+                                        mss_find_all_device)
 from deepgrp_tpu.ops.overlap_max import get_max, overlap_max_merge
 from deepgrp_tpu.ops.segments import (filter_segments, get_segments,
                                       segments_from_classes, yield_segments)
@@ -16,6 +20,10 @@ __all__ = [
     "one_hot_encode_dna_sequence",
     "find_mss_labels",
     "mss_find_all",
+    "find_mss_labels_device",
+    "mss_classes_device",
+    "mss_classes_from_scored",
+    "mss_find_all_device",
     "get_max",
     "overlap_max_merge",
     "filter_segments",

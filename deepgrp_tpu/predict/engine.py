@@ -221,6 +221,28 @@ class PredictionEngine:
                                       self.compute_dtype)
         return blocks, spill, n_windows
 
+    def predict_scored_device(self, params, onehot: np.ndarray):
+        """Device-resident scored scan: ``(classes int8, maxp f32, rows)``.
+
+        ``classes``/``maxp`` stay on device (padded to the bucketed chunk
+        grid; only the first ``rows <= len`` entries are meaningful).
+        Feed into ``ops.mss_device.mss_classes_from_scored`` for the
+        all-on-chip MSS path, or transfer for the host MSS.
+        """
+        out_len = onehot.shape[1]
+        vecsize = self.model.config.vecsize
+        step = self.step_size
+        n_windows = window_starts(out_len, vecsize, step).size
+        if n_windows == 0:
+            return None, None, 0
+        n_chunks = self._n_chunks(n_windows)
+        seqblocks = self._prepare_blocks(onehot, n_chunks)
+        classes, maxp = _scan_predict(params, seqblocks,
+                                      jnp.int32(n_windows), self.model,
+                                      step, self.batch_size, n_chunks,
+                                      self.compute_dtype, score=True)
+        return classes, maxp, min(out_len, classes.shape[0])
+
     def predict_scored(self, params,
                        onehot: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Per-position ``(classes int8 [L], max_prob float32 [L])``.
@@ -230,17 +252,9 @@ class PredictionEngine:
         of the device->host transfer of the full probability matrix.
         """
         out_len = onehot.shape[1]
-        vecsize = self.model.config.vecsize
-        step = self.step_size
-        n_windows = window_starts(out_len, vecsize, step).size
-        if n_windows == 0:
+        classes, maxp, _ = self.predict_scored_device(params, onehot)
+        if classes is None:
             return (np.zeros(out_len, np.int8), np.zeros(out_len, np.float32))
-        n_chunks = self._n_chunks(n_windows)
-        seqblocks = self._prepare_blocks(onehot, n_chunks)
-        classes, maxp = _scan_predict(params, seqblocks,
-                                      jnp.int32(n_windows), self.model,
-                                      step, self.batch_size, n_chunks,
-                                      self.compute_dtype, score=True)
         classes = np.asarray(classes)
         maxp = np.asarray(maxp)
         out_classes = np.zeros(out_len, np.int8)

@@ -54,6 +54,61 @@ def apply_mss_scored(classes: np.ndarray, maxp: np.ndarray,
                                options.min_mss_len, options.xdrop_len)
 
 
+def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
+                        out_len: int) -> np.ndarray:
+    """All-on-chip ``apply_mss``: device scored arrays -> MSS classes.
+
+    The score transform, Ruzzo-Tompa segment search, and majority-vote
+    labeling all run under jit (``ops.mss_device``); only the final
+    per-position int32 class array crosses to the host.  Capacity for the
+    positive-run stack is sized from the data (power-of-two buckets to
+    bound recompiles) with an overflow-doubling retry.
+    """
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.ops import mss_device
+
+    if classes.shape[0] < out_len:
+        # Uncovered tail (no window reaches it): the reference scores it
+        # as zero-probability rows (prediction.py:90 zeros + :51-57), so
+        # it must participate in the MSS, not be masked out.
+        pad = out_len - classes.shape[0]
+        classes = jnp.concatenate(
+            [classes, jnp.zeros((pad,), classes.dtype)])
+        maxp = jnp.concatenate([maxp, jnp.zeros((pad,), maxp.dtype)])
+    out_len_t = jnp.int32(out_len)
+    runs = _scored_run_count(classes, maxp, out_len_t)
+    max_runs = max(64, 1 << int(max(int(runs), 1)).bit_length())
+    while True:
+        assigned, overflow = mss_device.mss_classes_from_scored(
+            classes, maxp, out_len_t, nof_labels, options.min_mss_len,
+            options.xdrop_len, max_runs=max_runs)
+        if not bool(overflow):
+            return np.asarray(assigned[:out_len])
+        max_runs *= 2
+
+
+def _scored_run_count(classes, maxp, out_len):
+    """Positive-run count of the MSS score track (to size ``max_runs``)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def count(classes, maxp, out_len):
+        idx = jnp.arange(classes.shape[0], dtype=jnp.int32)
+        in_len = idx < out_len
+        labels = jnp.where(in_len, classes.astype(jnp.int32), 0)
+        mins = jnp.minimum(maxp.astype(jnp.float32) + jnp.float32(1e-6),
+                           jnp.float32(0.99))
+        t_scores = jnp.log(mins / (1 - mins))
+        scores = jnp.where(labels > 0, t_scores, -10 * t_scores)
+        pos = (scores > 0) & in_len
+        prev = jnp.concatenate([jnp.zeros((1,), bool), pos[:-1]])
+        return jnp.sum((pos & ~prev).astype(jnp.int32))
+
+    return int(count(classes, maxp, out_len))
+
+
 def softmax(array: np.ndarray) -> np.ndarray:
     """Reference softmax (prediction.py:62-65): global max subtraction."""
     e_x = np.exp(array - np.max(array))
@@ -63,16 +118,31 @@ def softmax(array: np.ndarray) -> np.ndarray:
 def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
                      options: Options, step_size: int,
                      use_mss: bool,
-                     engine: Optional[PredictionEngine] = None) -> np.ndarray:
+                     engine: Optional[PredictionEngine] = None,
+                     device_mss: bool = False) -> np.ndarray:
     """One-hot sequence -> per-position class array (CLI ``_predict`` core,
     __main__.py:46-83).
 
-    The MSS path uses the transfer-light device scoring; the softmax path
-    needs the full probability matrix.
+    The MSS path uses the transfer-light device scoring (``device_mss``
+    keeps even the MSS on chip — only int32 classes are transferred); the
+    softmax path needs the full probability matrix.
     """
     if engine is None:
         engine = PredictionEngine(model, batch_size=options.batch_size,
                                   step_size=step_size)
+    if use_mss and device_mss and hasattr(engine, "predict_scored_device"):
+        classes_d, maxp_d, _ = engine.predict_scored_device(params, onehot)
+        out_len = onehot.shape[1]
+        if classes_d is None:
+            # Zero windows: the reference still applies MSS to the all-zero
+            # probability buffer, labeling the whole record class 1
+            # (prediction.py:51-57 on zeros) — keep that quirk.
+            out = apply_mss_scored(np.zeros(out_len, np.int8),
+                                   np.zeros(out_len, np.float32), options,
+                                   model.config.n_classes)
+            return np.asanyarray(out.argmax(axis=1))
+        return apply_mss_on_device(classes_d, maxp_d, options,
+                                   model.config.n_classes, out_len)
     if use_mss:
         classes, maxp = engine.predict_scored(params, onehot)
         out = apply_mss_scored(classes, maxp, options,

@@ -115,6 +115,42 @@ def test_predict_scored_matches_full(small_model, random_dna):
         apply_mss(probs, options))
 
 
+@pytest.mark.parametrize("seq_len", [400, 150, 128])
+def test_predict_sequence_device_mss_matches_host(small_model, random_dna,
+                                                  seq_len):
+    # The all-on-chip MSS path (scoring + Ruzzo-Tompa + labeling under
+    # jit) must agree with the host C++ path — including the uncovered
+    # tail beyond the last window, which the reference scores as
+    # zero-probability rows.  seq_len=128 makes the bucketed scan rows
+    # end short of the sequence to exercise exactly that tail.
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(seq_len, alphabet="ACGT", seed=seq_len + 1))
+    host = predict_sequence(model, params, onehot, options, 10, True)
+    dev = predict_sequence(model, params, onehot, options, 10, True,
+                           device_mss=True)
+    np.testing.assert_array_equal(np.asarray(dev, np.int64),
+                                  np.asarray(host, np.int64))
+
+
+def test_predict_sequence_device_mss_zero_windows(small_model):
+    # Records shorter than vecsize produce zero windows; the reference
+    # still MSS-labels the zero buffer (whole record -> class 1).  The
+    # device path must keep that quirk.
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = small_model
+    onehot = np.zeros((5, 20), dtype=np.int8)
+    host = predict_sequence(model, params, onehot, options, 10, True)
+    dev = predict_sequence(model, params, onehot, options, 10, True,
+                           device_mss=True)
+    np.testing.assert_array_equal(np.asarray(dev, np.int64),
+                                  np.asarray(host, np.int64))
+    assert (np.asarray(dev) == 1).all()
+
+
 def test_predict_scored_zero_windows(small_model):
     options, model, params = small_model
     engine = PredictionEngine(model, batch_size=4, step_size=10)
