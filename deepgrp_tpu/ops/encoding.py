@@ -78,3 +78,28 @@ def encode_codes(sequence: str) -> np.ndarray:
     code representation over the 5-row one-hot.
     """
     return _LUT[np.frombuffer(sequence.encode("utf-8"), dtype=np.uint8)]
+
+
+def encode_codes_trimmed(sequence: str) -> Tuple[int, np.ndarray]:
+    """Trimmed compact encoding: ``(startpos, codes int8[length])``.
+
+    Same N-trimming as :func:`one_hot_encode_dna_sequence` (so
+    ``one_hot[c, i] == (codes[i] == c)`` and startpos matches), but 5x
+    smaller — the production engine expands codes to one-hot *on device*,
+    cutting the host->device transfer of a chromosome scan by 5x.
+    """
+    raw = sequence.encode("utf-8")
+    lib = native.load()
+    if lib is not None:
+        start = ctypes.c_int64()
+        end = ctypes.c_int64()
+        lib.dg_trim_n(raw, len(raw), ctypes.byref(start), ctypes.byref(end))
+        lo, hi = start.value, end.value
+    else:
+        is_n = np.frombuffer(raw, dtype=np.uint8) == ord("N")
+        if is_n.all():
+            return len(raw), np.zeros(0, dtype=np.int8)
+        lo = int(np.argmin(is_n)) if is_n.size else 0
+        hi = is_n.size - int(np.argmin(is_n[::-1])) if is_n.size else 0
+    codes = _LUT[np.frombuffer(raw, dtype=np.uint8)[lo:hi]]
+    return lo, codes

@@ -186,7 +186,7 @@ class PredictionEngine:
             probabilities (zeros where no window coverage).
         """
         blocks, spill, n_windows = self.predict_device(params, onehot)
-        out_len = onehot.shape[1] if out_len is None else int(out_len)
+        out_len = onehot.shape[-1] if out_len is None else int(out_len)
         n_classes = self.model.config.n_classes
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
@@ -209,7 +209,7 @@ class PredictionEngine:
         """Device-resident variant: returns (blocks, spill, n_windows)."""
         vecsize = self.model.config.vecsize
         step = self.step_size
-        starts = window_starts(onehot.shape[1], vecsize, step)
+        starts = window_starts(onehot.shape[-1], vecsize, step)
         n_windows = starts.size
         if n_windows == 0:
             return None, None, 0
@@ -229,7 +229,7 @@ class PredictionEngine:
         Feed into ``ops.mss_device.mss_classes_from_scored`` for the
         all-on-chip MSS path, or transfer for the host MSS.
         """
-        out_len = onehot.shape[1]
+        out_len = onehot.shape[-1]
         vecsize = self.model.config.vecsize
         step = self.step_size
         n_windows = window_starts(out_len, vecsize, step).size
@@ -251,7 +251,7 @@ class PredictionEngine:
         MSS scoring transform needs (prediction.py:51-55) with a fraction
         of the device->host transfer of the full probability matrix.
         """
-        out_len = onehot.shape[1]
+        out_len = onehot.shape[-1]
         classes, maxp, _ = self.predict_scored_device(params, onehot)
         if classes is None:
             return (np.zeros(out_len, np.int8), np.zeros(out_len, np.float32))
@@ -265,13 +265,41 @@ class PredictionEngine:
         return out_classes, out_maxp
 
 
-def prepare_blocks(onehot: np.ndarray, step: int, vecsize: int, batch: int,
+@partial(jax.jit, static_argnames=("n_blocks", "step"))
+def _blocks_from_codes(codes: jax.Array, n_blocks: int,
+                       step: int) -> jax.Array:
+    """Expand compact base codes to one-hot block-rows on device.
+
+    ``codes int8 [n_blocks*step]`` with pad value 5 (out of range ->
+    all-zero one-hot row, matching the host path's zero padding).
+    """
+    onehot = jax.nn.one_hot(codes, 5, dtype=jnp.int8)
+    return onehot.reshape(n_blocks, step, 5)
+
+
+def prepare_blocks(seq_repr: np.ndarray, step: int, vecsize: int, batch: int,
                    n_chunks: int) -> jax.Array:
-    """Pad and reshape ``[5, L]`` into device ``[n_blocks, step, 5]``."""
+    """Pad and reshape a sequence into device ``[n_blocks, step, 5]``.
+
+    Accepts either the reference's one-hot layout ``int8 [5, L]`` or the
+    compact code representation ``int8 [L]`` (A=0..T=3, N=4).  The codes
+    path transfers 5x less to the device and expands to one-hot there —
+    the production choice when the chip sits behind a slow host link.
+    """
     k = -(-vecsize // step)
     n_blocks = n_chunks * batch + k
     rows = n_blocks * step
-    seq = onehot.T  # [L, 5], int8
+    if seq_repr.ndim == 1:
+        codes = seq_repr
+        if rows > codes.shape[0]:
+            # Pad value 5: one_hot(5, 5) is all-zero, like the host pad.
+            codes = np.pad(codes, (0, rows - codes.shape[0]),
+                           constant_values=5)
+        else:
+            codes = codes[:rows]
+        return _blocks_from_codes(jnp.asarray(codes, jnp.int8), n_blocks,
+                                  step)
+    seq = seq_repr.T  # [L, 5], int8
     if rows > seq.shape[0]:
         seq = np.pad(seq, ((0, rows - seq.shape[0]), (0, 0)))
     else:

@@ -81,3 +81,28 @@ def test_native_matches_numpy(random_dna):
 def test_encode_codes():
     np.testing.assert_array_equal(encoding.encode_codes("ACGTNX"),
                                   [0, 1, 2, 3, 4, 4])
+
+
+def test_encode_codes_trimmed_matches_one_hot(random_dna):
+    from deepgrp_tpu.ops.encoding import (encode_codes_trimmed,
+                                          one_hot_encode_dna_sequence)
+
+    for seed in range(4):
+        seq = random_dna(500, alphabet="ACGTN", seed=seed)
+        seq = "N" * (seed * 3) + seq + "N" * seed
+        start_oh, onehot = one_hot_encode_dna_sequence(seq)
+        start_c, codes = encode_codes_trimmed(seq)
+        assert start_c == start_oh
+        assert codes.shape[0] == onehot.shape[1]
+        import numpy as np
+        if codes.size:
+            np.testing.assert_array_equal(onehot.argmax(axis=0), codes)
+
+
+def test_encode_codes_trimmed_all_n():
+    from deepgrp_tpu.ops.encoding import encode_codes_trimmed
+
+    start, codes = encode_codes_trimmed("NNNN")
+    assert codes.size == 0
+    start, codes = encode_codes_trimmed("")
+    assert codes.size == 0

@@ -215,3 +215,25 @@ def test_predict_complete_checkpoint_roundtrip(tmp_path, small_model,
     direct = predict_complete(10, options, tmp_path, data, use_mss=True,
                               params=params)
     np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_mss,device_mss", [(True, False), (True, True),
+                                                (False, False)])
+def test_codes_input_matches_one_hot(small_model, random_dna, use_mss,
+                                     device_mss):
+    # The engine accepts compact [L] codes (device-side one-hot expansion);
+    # every path must produce bitwise-identical results to the [5, L] input.
+    from deepgrp_tpu.ops.encoding import (encode_codes_trimmed,
+                                          one_hot_encode_dna_sequence)
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = small_model
+    seq = random_dna(400, alphabet="ACGTN", seed=5)
+    _, onehot = one_hot_encode_dna_sequence(seq)
+    _, codes = encode_codes_trimmed(seq)
+    a = predict_sequence(model, params, onehot, options, 10, use_mss,
+                         device_mss=device_mss)
+    b = predict_sequence(model, params, codes, options, 10, use_mss,
+                         device_mss=device_mss)
+    np.testing.assert_array_equal(np.asarray(a, np.int64),
+                                  np.asarray(b, np.int64))
