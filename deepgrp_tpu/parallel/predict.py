@@ -111,10 +111,11 @@ class ShardedPredictionEngine:
 
     def predict(self, params, onehot: np.ndarray,
                 out_len: Optional[int] = None) -> np.ndarray:
-        """Merged probabilities ``float32 [out_len, C]`` for ``[5, L]``."""
-        out_len = onehot.shape[1] if out_len is None else int(out_len)
+        """Merged probabilities ``float32 [out_len, C]`` for a ``[5, L]``
+        one-hot or compact ``[L]`` codes sequence."""
+        out_len = onehot.shape[-1] if out_len is None else int(out_len)
         n_classes = self.model.config.n_classes
-        n_windows, chunks_per_dev = self._plan(onehot.shape[1])
+        n_windows, chunks_per_dev = self._plan(onehot.shape[-1])
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
         blocks, tail = self._run(params, onehot, n_windows, chunks_per_dev,
@@ -125,7 +126,7 @@ class ShardedPredictionEngine:
     def predict_scored(self, params,
                        onehot: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Per-position ``(classes int8 [L], max_prob float32 [L])``."""
-        out_len = onehot.shape[1]
+        out_len = onehot.shape[-1]
         n_windows, chunks_per_dev = self._plan(out_len)
         if n_windows == 0:
             return (np.zeros(out_len, np.int8),

@@ -87,7 +87,10 @@ def test_dp_train_step_runs_and_improves(setup):
     step = make_dp_train_step(model, optimizer, mesh, options, sampler)
     opt_state = optimizer.init(params)
     arrays = dp_train_arrays(sampler)
-    p, s = params, opt_state
+    # The train step donates params/opt_state; give it copies so the
+    # module-scoped fixture's buffers survive for later tests.
+    p = jax.tree.map(lambda a: a.copy(), params)
+    s = opt_state
     losses = []
     key = jax.random.PRNGKey(0)
     for i in range(20):
@@ -123,3 +126,19 @@ def test_graft_entry_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_predict_codes_input_matches_one_hot(setup):
+    # The sharded engine also accepts the compact [L] code representation.
+    options, model, params = setup
+    onehot = make_onehot(4000, seed=9)
+    codes = onehot.argmax(axis=0).astype(np.int8)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=16,
+                                      step_size=10)
+    np.testing.assert_array_equal(sharded.predict(params, codes),
+                                  sharded.predict(params, onehot))
+    c1, m1 = sharded.predict_scored(params, codes)
+    c2, m2 = sharded.predict_scored(params, onehot)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(m1, m2)
