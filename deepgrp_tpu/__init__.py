@@ -13,8 +13,9 @@ Architecture (TPU-first, not a port):
     overlap-max merge and scoring all run on device under a single ``jit``
     (reference: python generator + per-batch callbacks,
     ``prediction.py:89-111``),
-  * the RNN recurrence is a fused Pallas scan kernel with a ``lax.scan``
-    reference path used for autodiff and CPU tests,
+  * the RNN recurrence is a single ``lax.scan`` whose XLA schedule was
+    measured fastest at the flagship dims, with a fused Pallas kernel
+    available as an override for larger recurrent widths,
   * multi-chip scaling is a ``jax.sharding.Mesh`` + ``shard_map`` data-parallel
     window stream with boundary-overlap exchange via collectives (the
     reference is single-process, single-device),
