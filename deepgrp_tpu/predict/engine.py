@@ -123,6 +123,26 @@ def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
     return jnp.zeros((spill_rows, model.config.n_classes), jnp.float32)
 
 
+# Chunks per pipelined slice.  One compiled slice program (chunk0 is a
+# traced scalar) covers every slice of every sequence length — a whole
+# genome scan compiles exactly one forward program, and fetching slice i
+# overlaps with the device computing slices i+1.. (async dispatch).
+SLICE_CHUNKS = 8
+
+
+@partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
+                                   "compute_dtype", "score"))
+def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
+                chunk0: jax.Array, spill: jax.Array, model: DeepGRPModel,
+                step: int, batch: int, n_chunks: int, compute_dtype,
+                score: bool = False):
+    """One pipeline slice: scan ``n_chunks`` chunks from ``chunk0``,
+    threading the spill carry between slices."""
+    return scan_chunk_range(params, seqblocks, n_windows, chunk0, spill,
+                            model, step, batch, n_chunks, compute_dtype,
+                            score=score)
+
+
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
                                    "compute_dtype", "score"))
 def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
@@ -185,13 +205,57 @@ class PredictionEngine:
             ``float32 [out_len, n_classes]`` overlap-max merged
             probabilities (zeros where no window coverage).
         """
-        blocks, spill, n_windows = self.predict_device(params, onehot)
         out_len = onehot.shape[-1] if out_len is None else int(out_len)
         n_classes = self.model.config.n_classes
+        n_windows = window_starts(onehot.shape[-1],
+                                  self.model.config.vecsize,
+                                  self.step_size).size
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
-        return assemble_output(np.asarray(blocks), np.asarray(spill),
-                               out_len, n_classes)
+        slices, spill, rows_per_slice = self._dispatch_slices(
+            params, onehot, n_windows, score=False)
+        out = np.zeros((out_len, n_classes), dtype=np.float32)
+        pos = 0
+        for (block,) in slices:  # fetch overlaps later slices' compute
+            take = min(out_len - pos, rows_per_slice)
+            if take > 0:
+                out[pos:pos + take] = np.asarray(block)[:take]
+            pos += rows_per_slice
+        spill_h = np.asarray(spill)
+        hi = min(pos + spill_h.shape[0], out_len)
+        if hi > pos:
+            out[pos:hi] = np.maximum(out[pos:hi], spill_h[:hi - pos])
+        return out
+
+    def _n_chunks_sliced(self, n_windows: int) -> int:
+        """Chunk count padded to the slice grid (multiple of
+        ``SLICE_CHUNKS``) so one compiled slice program covers every
+        sequence length."""
+        n_chunks = -(-n_windows // self.batch_size)
+        return -(-n_chunks // SLICE_CHUNKS) * SLICE_CHUNKS
+
+    def _dispatch_slices(self, params, onehot: np.ndarray, n_windows: int,
+                         score: bool):
+        """Asynchronously dispatch the whole scan as fixed-size slices.
+
+        Returns ``(slice_outputs, final_spill, rows_per_slice)`` with every
+        slice already enqueued on the device — the caller fetches them in
+        order while later slices are still computing, hiding the
+        device->host transfer entirely behind compute.
+        """
+        n_chunks = self._n_chunks_sliced(n_windows)
+        seqblocks = self._prepare_blocks(onehot, n_chunks)
+        spill = make_spill0(self.model, self.step_size)
+        n_win = jnp.int32(n_windows)
+        outs = []
+        for chunk0 in range(0, n_chunks, SLICE_CHUNKS):
+            *ys, spill = _scan_slice(params, seqblocks, n_win,
+                                     jnp.int32(chunk0), spill, self.model,
+                                     self.step_size, self.batch_size,
+                                     SLICE_CHUNKS, self.compute_dtype,
+                                     score)
+            outs.append(ys)
+        return outs, spill, SLICE_CHUNKS * self.batch_size * self.step_size
 
     def _n_chunks(self, n_windows: int) -> int:
         """Chunk count, bucketed to the next multiple of 8 (above 8).
@@ -250,18 +314,31 @@ class PredictionEngine:
         Device-side argmax/max of the merged probabilities — the inputs the
         MSS scoring transform needs (prediction.py:51-55) with a fraction
         of the device->host transfer of the full probability matrix.
+        Runs as pipelined fixed-size slices: all slices are dispatched
+        asynchronously up front, then fetched in order, so the transfer of
+        slice ``i`` rides behind the compute of slices ``i+1..``.
         """
         out_len = onehot.shape[-1]
-        classes, maxp, _ = self.predict_scored_device(params, onehot)
-        if classes is None:
-            return (np.zeros(out_len, np.int8), np.zeros(out_len, np.float32))
-        classes = np.asarray(classes)
-        maxp = np.asarray(maxp)
+        n_windows = window_starts(out_len, self.model.config.vecsize,
+                                  self.step_size).size
         out_classes = np.zeros(out_len, np.int8)
         out_maxp = np.zeros(out_len, np.float32)
-        n_rows = min(out_len, classes.shape[0])
-        out_classes[:n_rows] = classes[:n_rows]
-        out_maxp[:n_rows] = maxp[:n_rows]
+        if n_windows == 0:
+            return out_classes, out_maxp
+        slices, spill, rows_per_slice = self._dispatch_slices(
+            params, onehot, n_windows, score=True)
+        pos = 0
+        for classes_s, maxp_s in slices:
+            take = min(out_len - pos, rows_per_slice)
+            if take > 0:
+                out_classes[pos:pos + take] = np.asarray(classes_s)[:take]
+                out_maxp[pos:pos + take] = np.asarray(maxp_s)[:take]
+            pos += rows_per_slice
+        spill_h = np.asarray(spill)
+        hi = min(pos + spill_h.shape[0], out_len)
+        if hi > pos:
+            out_classes[pos:hi] = spill_h[:hi - pos].argmax(axis=1)
+            out_maxp[pos:hi] = spill_h[:hi - pos].max(axis=1)
         return out_classes, out_maxp
 
 
