@@ -169,8 +169,7 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
     from deepgrp_tpu.data.fasta import read_multi_fasta
     from deepgrp_tpu.models.keras_io import load_model
     from deepgrp_tpu.models.model import DeepGRPModel
-    from deepgrp_tpu.ops.encoding import (encode_codes_trimmed,
-                                          one_hot_encode_dna_sequence)
+    from deepgrp_tpu.ops.encoding import encode_codes_trimmed
     from deepgrp_tpu.ops.segments import yield_segments
     from deepgrp_tpu.predict.engine import PredictionEngine
     from deepgrp_tpu.predict.postprocess import predict_sequence
@@ -204,13 +203,10 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
             filestream = sys.stdin if filename == "-" else open(filename)
             try:
                 for header, dnasequence in read_multi_fasta(filestream):
-                    if isinstance(engine, PredictionEngine):
-                        # Compact codes: 5x less host->device transfer;
-                        # the engine expands to one-hot on device.
-                        startpos, onehot = encode_codes_trimmed(dnasequence)
-                    else:
-                        startpos, onehot = one_hot_encode_dna_sequence(
-                            dnasequence)
+                    # Compact codes: 5x less host->device transfer and
+                    # 5x less HBM; both engines expand to one-hot on
+                    # device per chunk.
+                    startpos, onehot = encode_codes_trimmed(dnasequence)
                     predictions = predict_sequence(
                         model, params, onehot, options, args.step_size,
                         use_mss=not args.no_use_mss, engine=engine,

@@ -12,11 +12,13 @@ trials' logdirs are deleted.  ``run_a_trial`` resumes a pickled
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import pickle
 import shutil
 from os import PathLike, path
-from typing import Any, Callable, Dict, Union
+from typing import Any, Callable, Dict, Optional, Union
 
 import numpy as np
 
@@ -28,9 +30,33 @@ from deepgrp_tpu.models.model import create_model
 from deepgrp_tpu.ops.segments import filter_segments
 from deepgrp_tpu.predict.metrics import calculate_metrics
 from deepgrp_tpu.predict.postprocess import predict_complete
-from deepgrp_tpu.train.training import training
+from deepgrp_tpu.train.training import MetricsWriter, training
 
 _LOGGER = logging.getLogger(__name__)
+
+
+def record_trial_summary(logdir: PathLike, hparams: Dict[str, Any],
+                         mcc: float) -> None:
+    """Persist a trial's hyperparameters + final MCC into its logdir.
+
+    Observability parity with the reference, which writes a TensorBoard
+    hparams record and a final MCC scalar per trial
+    (optimization.py:54,82-88): ``hparams.json`` holds the searched
+    assignment, and the MCC lands in the logdir's ``metrics.jsonl`` (and
+    TB events when a writer is available).
+    """
+    os.makedirs(os.fspath(logdir), exist_ok=True)
+    serializable = {
+        key: (value.item() if isinstance(value, np.generic) else value)
+        for key, value in hparams.items()
+    }
+    with open(path.join(os.fspath(logdir), "hparams.json"), "w") as fh:
+        json.dump(serializable, fh, indent=2, sort_keys=True)
+    writer = MetricsWriter(logdir, tensorboard=True)
+    try:
+        writer.write(step=0, metrics={"hpo/MCC": float(mcc)})
+    finally:
+        writer.close()
 
 
 def _update_options(options: Options, dictionary: Dict[str, Any]) -> Options:
@@ -72,7 +98,7 @@ def build_and_optimize(
     try:
         metrics = _train_test()
     except Exception as err:  # pylint: disable=broad-except
-        _LOGGER.exception("Error occurred while training")
+        _LOGGER.exception("trial raised; marking it failed")
         results["error"] = str(err)
         results["status"] = STATUS_FAIL
     else:
@@ -83,38 +109,39 @@ def build_and_optimize(
         if np.isnan(results["loss"]):
             results["status"] = STATUS_FAIL
             results["loss"] = np.inf
+        else:
+            record_trial_summary(logdir, options_dict, metrics["MCC"])
     if results["status"] == STATUS_FAIL and results["logdir"]:
         shutil.rmtree(results["logdir"], ignore_errors=True)
     return results
 
 
+def _load_trials(results_path: str) -> Trials:
+    if not path.exists(results_path):
+        _LOGGER.info("no pickled sweep state at %s; starting a fresh one",
+                     results_path)
+        return Trials()
+    with open(results_path, "rb") as file:
+        trials = pickle.load(file)
+    _LOGGER.info("resuming sweep: %d completed trials loaded from %s",
+                 len(trials.trials), results_path)
+    return trials
+
+
 def run_a_trial(space: Dict[str, Dimension],
                 objective: Callable[[Dict[str, Any]], Dict[str, Any]],
                 project_root_dir: PathLike, max_evals: int,
-                seed: int = None) -> int:
+                seed: Optional[int] = None) -> int:
     """One TPE meta-optimization increment with ``results.pkl`` resume.
 
     Adds ``max_evals`` evaluations on top of any previously pickled trials
-    (optimization.py:109-154 parity); returns the total trial count.
+    (matching the reference sweep's incremental checkpointing semantics,
+    optimization.py:109-154); returns the total trial count.
     """
-    nb_evals = max_evals
     results_path = path.join(project_root_dir, "results.pkl")
-
-    try:
-        with open(results_path, "rb") as file:
-            trials = pickle.load(file)
-    except FileNotFoundError:
-        trials = Trials()
-        _LOGGER.info("Starting from scratch: new trials.")
-    else:
-        _LOGGER.warning("Found saved Trials! Loading...")
-        max_evals = len(trials.trials) + nb_evals
-        _LOGGER.info("Rerunning from %d trials to add another one.",
-                     len(trials.trials))
-
-    fmin(objective, space, trials, max_evals, seed=seed)
-
+    trials = _load_trials(results_path)
+    target_evals = len(trials.trials) + max_evals
+    fmin(objective, space, trials, target_evals, seed=seed)
     with open(results_path, "wb") as file:
         pickle.dump(trials, file)
-
     return len(trials.losses())

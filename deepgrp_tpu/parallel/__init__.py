@@ -2,9 +2,10 @@
 
 The reference is single-process single-device (SURVEY §2 "Parallelism
 status"); this layer is new, built TPU-first: model weights are replicated,
-the chromosome window stream is sharded data-parallel over a 1-D
-``jax.sharding.Mesh``, per-shard overlap-max merges are stitched at shard
-boundaries with a ``ppermute`` halo exchange, and training runs as
+the chromosome window stream AND the sequence itself are sharded
+data-parallel over a 1-D ``jax.sharding.Mesh`` (each device holds only its
+chunk range plus a halo), per-shard overlap-max merges are stitched at
+shard boundaries from tiny spill/head arrays, and training runs as
 data-parallel gradient ``psum`` inside ``shard_map``.
 """
 

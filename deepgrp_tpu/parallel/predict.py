@@ -1,17 +1,29 @@
-"""Sharded window-stream inference with boundary halo exchange.
+"""Sharded, genome-scale window-stream inference over a device mesh.
 
-Design (SURVEY §7 step 6, BASELINE north star): the block-reshaped one-hot
-sequence is replicated to every device; the chunk stream is split into
-contiguous per-device ranges; each device runs the same single-jit
+Design (SURVEY §7 step 6, BASELINE north star): the chromosome's window
+chunks are split into contiguous per-device ranges.  Each device holds ONLY
+its own range of block-rows plus a ``k = ceil(vecsize/step)``-block halo
+(the rows its last windows read past its range) — nothing is replicated
+except the model parameters.  Every device runs the same single-jit
 chunk-scan as the single-chip engine (contiguous slab gathers, per-chunk
-merge, spill-carry — see predict/engine.py), then ships the
-``vecsize - step`` boundary rows that spill into the next device's output
-block over ICI with ``lax.ppermute`` and max-combines.  The result equals
-the single-device merge exactly — the overlap-max is associative and
-windows are assigned disjointly.
+merge, spill carry, in-scan argmax/max scoring — predict/engine.py), driven
+as host-pipelined fixed-size slices so the device->host fetch of slice ``i``
+rides behind the compute of slices ``i+1..`` and HBM never holds more than
+one slice of f32 output per device.
 
-Everything runs in ONE ``shard_map``-ped jit call per sequence; host code
-only pads window starts and trims the output.
+Boundary correctness: window overlap means each device's final merged spill
+(``vecsize - step`` rows) lands in the NEXT device's output region head.
+Those spills are tiny ``[overlap, C]`` arrays; they are returned per device
+and max-combined into the neighbor's region head on the host during
+assembly — bit-identical to the single-device merge because the overlap-max
+is associative and windows are assigned disjointly.  For the scored path
+(in-scan argmax) each device additionally returns the raw merged f32 rows
+of its region head so the boundary rows can be re-scored after combining.
+
+Memory budget at chromosome scale (chr1, ~250 Mbp, step 50, C=5, 8 devices):
+per-device code block-rows ~31 MB HBM (one-hot would be 156 MB), per-slice
+scored output ~0.5 MB, boundary arrays ~6 KB — the genome-length f32
+probability matrix is never materialized on any device.
 """
 
 from __future__ import annotations
@@ -26,67 +38,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepgrp_tpu.models.model import DeepGRPModel
 from deepgrp_tpu.parallel.mesh import DATA_AXIS
-from deepgrp_tpu.predict.engine import (assemble_output, make_spill0,
-                                        prepare_blocks, scan_chunk_range,
+from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, scan_chunk_range,
                                         window_starts)
 
 
 @partial(jax.jit,
-         static_argnames=("model", "step", "batch", "chunks_per_dev",
-                          "mesh", "compute_dtype", "score"))
-def _sharded_predict(params, seqblocks, n_windows, model: DeepGRPModel,
-                     step: int, batch: int, chunks_per_dev: int, mesh: Mesh,
-                     compute_dtype, score: bool = False):
-    """All-device predict.
+         static_argnames=("model", "step", "batch", "n_chunks",
+                          "chunks_per_dev", "mesh", "compute_dtype", "score",
+                          "with_head"))
+def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
+                   model: DeepGRPModel, step: int, batch: int, n_chunks: int,
+                   chunks_per_dev: int, mesh: Mesh, compute_dtype,
+                   score: bool, with_head: bool):
+    """One pipeline slice on every device at once.
 
-    Returns ``(blocks, last_tail)`` where ``blocks`` is the concatenated
-    per-device output (or ``(classes, maxp)`` per-position pairs when
-    ``score``) and ``last_tail`` is the final device's spill.
+    ``local_blocks [n_dev, local_blocks_per_dev(, step...)]`` is sharded on
+    its leading axis (each device sees only its shard); ``spills
+    [n_dev, overlap, C]`` carries each device's merge spill between slices;
+    ``chunk0`` is the device-local chunk offset of this slice (a traced
+    scalar, so one compiled program covers all slices of a length bucket).
     """
-    vecsize = model.config.vecsize
-    n_dev = mesh.shape[DATA_AXIS]
-    overlap = max(vecsize - step, 0)
 
-    def device_fn(params, seqblocks, n_windows):
+    def device_fn(params, blocks, spill):
         dev = jax.lax.axis_index(DATA_AXIS)
-        chunk0 = (dev * chunks_per_dev).astype(jnp.int32)
-        block, tail = scan_chunk_range(params, seqblocks, n_windows, chunk0,
-                                       make_spill0(model, step), model, step,
-                                       batch, chunks_per_dev, compute_dtype)
-        if overlap and n_dev > 1:
-            # Ship the spill into the next device's block head.
-            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-            incoming = jax.lax.ppermute(tail, DATA_AXIS, perm)
-            incoming = jnp.where(dev == 0, 0.0, incoming)
-            head = jnp.maximum(block[:overlap], incoming)
-            block = jax.lax.dynamic_update_slice(block, head, (0, 0))
-            # Only the last device's tail has no right neighbor; zero the
-            # others so the gathered tails reduce exactly.
-            tail = jnp.where(dev == n_dev - 1, tail, 0.0)
-        if score:
-            classes = block.argmax(axis=1).astype(jnp.int8)
-            maxp = block.max(axis=1)
-            return classes[None], maxp[None], tail[None]
-        return block[None], tail[None]
+        # Device-local window indexing: global window w lives on device
+        # w // (chunks_per_dev*batch); masking needs the local remainder.
+        n_win_local = n_windows - dev * (chunks_per_dev * batch)
+        out = scan_chunk_range(params, blocks[0], n_win_local, chunk0,
+                               spill[0], model, step, batch, n_chunks,
+                               compute_dtype, score=score,
+                               with_head=with_head)
+        return tuple(y[None] for y in out)
 
-    out_specs = ((P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)) if score
-                 else (P(DATA_AXIS), P(DATA_AXIS)))
+    n_out = 4 if (score and with_head) else (3 if score else 2)
     shard = jax.shard_map(device_fn, mesh=mesh,
-                          in_specs=(P(), P(), P()), out_specs=out_specs,
+                          in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                          out_specs=(P(DATA_AXIS),) * n_out,
                           check_vma=False)
-    outs = shard(params, seqblocks, n_windows)
-    if score:
-        classes, maxp, tails = outs
-        return (classes.reshape(-1), maxp.reshape(-1),
-                jnp.max(tails, axis=0) if overlap else tails[0, :0])
-    blocks, tails = outs
-    blocks = blocks.reshape(-1, blocks.shape[-1])
-    last_tail = jnp.max(tails, axis=0) if overlap else tails[0, :0]
-    return blocks, last_tail
+    return shard(params, local_blocks, spills)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_blocks", "step"))
+def _expand_code_shards(codes, mesh: Mesh, n_blocks: int, step: int):
+    """Reshape per-device code rows ``[n_dev, rows]`` to block-rows
+    ``[n_dev, n_blocks, step]`` without leaving the devices."""
+    shard = jax.shard_map(lambda c: c.reshape(1, n_blocks, step), mesh=mesh,
+                          in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
+                          check_vma=False)
+    return shard(codes)
 
 
 class ShardedPredictionEngine:
-    """Data-parallel windowed predictor over a device mesh."""
+    """Data-parallel windowed predictor over a device mesh.
+
+    Scales the reference's arbitrary-length chromosome streaming
+    (prediction.py:89-111) across chips: accepts one-hot ``[5, L]`` or
+    compact codes ``[L]`` (codes preferred at genome scale), returns
+    results bit-identical to the single-device ``PredictionEngine``.
+    """
 
     def __init__(self, model: DeepGRPModel, mesh: Mesh,
                  batch_size: int = 256, step_size: int = 50,
@@ -98,67 +107,185 @@ class ShardedPredictionEngine:
         self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
         self.n_devices = mesh.shape[DATA_AXIS]
+        self._k = k
+        self._overlap = max(model.config.vecsize - self.step_size, 0)
 
-    def _plan(self, seq_len: int):
-        """(n_windows, chunks_per_dev) for a sequence length."""
+    # -- planning ----------------------------------------------------------
+
+    def _plan(self, seq_len: int) -> Tuple[int, int, int]:
+        """(n_windows, chunks_per_dev, slice_chunks).
+
+        ``chunks_per_dev`` is the per-device chunk range: exact when it fits
+        in one slice (short sequences run no masked padding chunks), else
+        padded to the ``SLICE_CHUNKS`` grid so one compiled slice program
+        covers every long sequence.
+        """
         starts = window_starts(seq_len, self.model.config.vecsize,
                                self.step_size)
         if starts.size == 0:
-            return 0, 0
+            return 0, 0, 0
         chunks = -(-starts.size // self.batch_size)
-        chunks_per_dev = -(-chunks // self.n_devices)
-        return starts.size, chunks_per_dev
+        per_dev = -(-chunks // self.n_devices)
+        if per_dev > SLICE_CHUNKS:
+            per_dev = -(-per_dev // SLICE_CHUNKS) * SLICE_CHUNKS
+        return starts.size, per_dev, min(per_dev, SLICE_CHUNKS)
 
-    def predict(self, params, onehot: np.ndarray,
+    def _prepare_shards(self, seq_repr: np.ndarray, chunks_per_dev: int):
+        """Split the sequence into per-device block-row shards with halos.
+
+        Device ``d`` owns chunks ``[d*cpd, (d+1)*cpd)`` = block-rows
+        ``[d*R, (d+1)*R + k)`` where ``R = cpd*batch`` (k-block halo).
+        Returns a device array sharded on the leading device axis.
+        """
+        step = self.step_size
+        region_blocks = chunks_per_dev * self.batch_size
+        local_blocks = region_blocks + self._k
+        total_rows = (self.n_devices * region_blocks + self._k) * step
+        if seq_repr.ndim == 1:
+            codes = seq_repr
+            if total_rows > codes.shape[0]:
+                codes = np.pad(codes, (0, total_rows - codes.shape[0]),
+                               constant_values=5)  # one_hot(5) == all-zero
+            local_rows = local_blocks * step
+            shards = np.stack([
+                codes[d * region_blocks * step:
+                      d * region_blocks * step + local_rows]
+                for d in range(self.n_devices)
+            ])
+            sharded = jax.device_put(
+                shards, NamedSharding(self.mesh, P(DATA_AXIS)))
+            return _expand_code_shards(sharded, self.mesh, local_blocks,
+                                       step)
+        seq = seq_repr.T  # [L, 5] int8
+        if total_rows > seq.shape[0]:
+            seq = np.pad(seq, ((0, total_rows - seq.shape[0]), (0, 0)))
+        shards = np.stack([
+            np.ascontiguousarray(
+                seq[d * region_blocks * step:
+                    d * region_blocks * step + local_blocks * step]
+            ).reshape(local_blocks, step, seq.shape[1])
+            for d in range(self.n_devices)
+        ])
+        return jax.device_put(shards,
+                              NamedSharding(self.mesh, P(DATA_AXIS)))
+
+    # -- drivers -----------------------------------------------------------
+
+    def _run_sliced(self, params, seq_repr: np.ndarray, n_windows: int,
+                    chunks_per_dev: int, slice_chunks: int, score: bool):
+        """Dispatch all slices asynchronously; yield host results in order.
+
+        Returns ``(slice_outputs, heads, tails, rows_per_slice)`` where
+        ``slice_outputs`` is a list over slices of per-device outputs,
+        ``heads`` (scored only) are each device's raw region-head f32 rows,
+        and ``tails`` each device's final spill ``[n_dev, overlap, C]``.
+        """
+        local = self._prepare_shards(seq_repr, chunks_per_dev)
+        params_dev = jax.device_put(params, NamedSharding(self.mesh, P()))
+        n_classes = self.model.config.n_classes
+        spills = jax.device_put(
+            jnp.zeros((self.n_devices, self._overlap, n_classes),
+                      jnp.float32), NamedSharding(self.mesh, P(DATA_AXIS)))
+        n_win = jnp.int32(n_windows)
+        outs = []
+        heads = None
+        for i, chunk0 in enumerate(range(0, chunks_per_dev, slice_chunks)):
+            with_head = score and i == 0 and self._overlap > 0
+            res = _sharded_slice(params_dev, local, n_win, jnp.int32(chunk0),
+                                 spills, self.model, self.step_size,
+                                 self.batch_size, slice_chunks,
+                                 chunks_per_dev, self.mesh,
+                                 self.compute_dtype, score, with_head)
+            if with_head:
+                *ys, head_stack, spills = res
+                heads = head_stack[:, 0]  # chunk 0 of slice 0 per device
+            else:
+                *ys, spills = res
+            outs.append(ys)
+        rows_per_slice = slice_chunks * self.batch_size * self.step_size
+        return outs, heads, spills, rows_per_slice
+
+    def predict(self, params, seq_repr: np.ndarray,
                 out_len: Optional[int] = None) -> np.ndarray:
         """Merged probabilities ``float32 [out_len, C]`` for a ``[5, L]``
-        one-hot or compact ``[L]`` codes sequence."""
-        out_len = onehot.shape[-1] if out_len is None else int(out_len)
+        one-hot or compact ``[L]`` codes sequence.
+
+        NOTE: materializes the genome-length f32 matrix on the HOST (that is
+        its contract, like the reference's ``predict``); for chromosome
+        scale use :meth:`predict_scored`, which transfers and stores only
+        per-position ``(int8, f32)``.
+        """
+        out_len = seq_repr.shape[-1] if out_len is None else int(out_len)
         n_classes = self.model.config.n_classes
-        n_windows, chunks_per_dev = self._plan(onehot.shape[-1])
+        n_windows, chunks_per_dev, slice_chunks = self._plan(
+            seq_repr.shape[-1])
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
-        blocks, tail = self._run(params, onehot, n_windows, chunks_per_dev,
-                                 score=False)
-        return assemble_output(np.asarray(blocks), np.asarray(tail),
-                               out_len, n_classes)
+        slices, _, tails, rows_per_slice = self._run_sliced(
+            params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
+            score=False)
+        region_rows = chunks_per_dev * self.batch_size * self.step_size
+        out = np.zeros((out_len, n_classes), dtype=np.float32)
+        for i in range(len(slices)):
+            (blocks,) = slices[i]
+            slices[i] = None  # free device buffers as we go
+            blocks = np.asarray(blocks)  # [n_dev, rows_per_slice, C]
+            for d in range(self.n_devices):
+                lo = d * region_rows + i * rows_per_slice
+                take = min(out_len - lo, rows_per_slice)
+                if take > 0:
+                    out[lo:lo + take] = blocks[d, :take]
+        # Boundary fix-up: device d's spill lands in region d+1's head (for
+        # the last device: past the end of its region — the global tail).
+        tails = np.asarray(tails)
+        for d in range(self.n_devices):
+            lo = (d + 1) * region_rows
+            hi = min(lo + self._overlap, out_len)
+            if hi > lo:
+                np.maximum(out[lo:hi], tails[d, :hi - lo], out=out[lo:hi])
+        return out
 
-    def predict_scored(self, params,
-                       onehot: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-position ``(classes int8 [L], max_prob float32 [L])``."""
-        out_len = onehot.shape[-1]
-        n_windows, chunks_per_dev = self._plan(out_len)
-        if n_windows == 0:
-            return (np.zeros(out_len, np.int8),
-                    np.zeros(out_len, np.float32))
-        classes, maxp, tail = self._run(params, onehot, n_windows,
-                                        chunks_per_dev, score=True)
-        classes = np.asarray(classes)
-        maxp = np.asarray(maxp)
-        tail = np.asarray(tail)
+    def predict_scored(self, params, seq_repr: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-position ``(classes int8 [L], max_prob float32 [L])``.
+
+        The genome-scale path: argmax/max are taken inside each device's
+        scan, so only 5 bytes/position ever cross to the host and no
+        genome-length f32 array exists anywhere.
+        """
+        out_len = seq_repr.shape[-1]
+        n_windows, chunks_per_dev, slice_chunks = self._plan(out_len)
         out_classes = np.zeros(out_len, np.int8)
         out_maxp = np.zeros(out_len, np.float32)
-        n_rows = min(out_len, classes.shape[0])
-        out_classes[:n_rows] = classes[:n_rows]
-        out_maxp[:n_rows] = maxp[:n_rows]
-        lo = classes.shape[0]
-        hi = min(lo + tail.shape[0], out_len)
-        if hi > lo:
-            tail_part = tail[:hi - lo]
-            out_maxp[lo:hi] = tail_part.max(axis=1)
-            out_classes[lo:hi] = tail_part.argmax(axis=1).astype(np.int8)
+        if n_windows == 0:
+            return out_classes, out_maxp
+        slices, heads, tails, rows_per_slice = self._run_sliced(
+            params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
+            score=True)
+        region_rows = chunks_per_dev * self.batch_size * self.step_size
+        for i in range(len(slices)):
+            classes_s, maxp_s = slices[i]
+            slices[i] = None
+            classes_s = np.asarray(classes_s)
+            maxp_s = np.asarray(maxp_s)
+            for d in range(self.n_devices):
+                lo = d * region_rows + i * rows_per_slice
+                take = min(out_len - lo, rows_per_slice)
+                if take > 0:
+                    out_classes[lo:lo + take] = classes_s[d, :take]
+                    out_maxp[lo:lo + take] = maxp_s[d, :take]
+        # Boundary fix-up: re-score region heads after combining the left
+        # neighbor's spill; the last device's spill scores the global tail.
+        tails = np.asarray(tails)
+        heads = None if heads is None else np.asarray(heads)
+        for d in range(self.n_devices):
+            lo = (d + 1) * region_rows
+            hi = min(lo + self._overlap, out_len)
+            if hi <= lo:
+                continue
+            combined = tails[d, :hi - lo]
+            if d + 1 < self.n_devices and heads is not None:
+                combined = np.maximum(combined, heads[d + 1, :hi - lo])
+            out_classes[lo:hi] = combined.argmax(axis=1)
+            out_maxp[lo:hi] = combined.max(axis=1)
         return out_classes, out_maxp
-
-    def _run(self, params, onehot, n_windows: int, chunks_per_dev: int,
-             score: bool):
-        total_chunks = chunks_per_dev * self.n_devices
-        seqblocks = prepare_blocks(onehot, self.step_size,
-                                   self.model.config.vecsize,
-                                   self.batch_size, total_chunks)
-        replicated = NamedSharding(self.mesh, P())
-        seq_dev = jax.device_put(seqblocks, replicated)
-        params_dev = jax.device_put(params, replicated)
-        return _sharded_predict(params_dev, seq_dev, jnp.int32(n_windows),
-                                self.model, self.step_size, self.batch_size,
-                                chunks_per_dev, self.mesh,
-                                self.compute_dtype, score)

@@ -49,24 +49,29 @@ def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
                   k: int, compute_dtype) -> jax.Array:
     """Materialize one chunk of windows from block-rows.
 
-    ``seqblocks [n_blocks, step, 5]``; window ``w`` of chunk ``c`` covers
-    block-rows ``c*batch + w .. c*batch + w + k - 1``, so the whole chunk
-    is ``k`` contiguous ``[batch, step, 5]`` slabs concatenated on the
-    time axis and clipped to ``vecsize``.
+    ``seqblocks`` is either one-hot block-rows ``[n_blocks, step, 5]`` or
+    compact code block-rows ``[n_blocks, step]`` (A=0..N=4, pad=5 -> all-zero
+    one-hot row; 5x less HBM, expanded per chunk).  Window ``w`` of chunk
+    ``c`` covers block-rows ``c*batch + w .. c*batch + w + k - 1``, so the
+    whole chunk is ``k`` contiguous ``[batch, step, ...]`` slabs concatenated
+    on the time axis and clipped to ``vecsize``.
     """
     i0 = chunk_idx * batch
     slabs = [
-        jax.lax.dynamic_slice(
-            seqblocks, (i0 + j, 0, 0),
-            (batch, seqblocks.shape[1], seqblocks.shape[2]))
+        jax.lax.dynamic_slice(seqblocks, (i0 + j,) + (0,) * (
+            seqblocks.ndim - 1), (batch,) + seqblocks.shape[1:])
         for j in range(k)
     ]
-    return jnp.concatenate(slabs, axis=1)[:, :vecsize].astype(compute_dtype)
+    x = jnp.concatenate(slabs, axis=1)[:, :vecsize]
+    if x.ndim == 2:  # code rows -> one-hot, fused into the chunk pipeline
+        return jax.nn.one_hot(x, 5, dtype=compute_dtype)
+    return x.astype(compute_dtype)
 
 
 def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
                      spill0, model: DeepGRPModel, step: int, batch: int,
-                     n_chunks: int, compute_dtype, score: bool = False):
+                     n_chunks: int, compute_dtype, score: bool = False,
+                     with_head: bool = False):
     """Scan chunks ``chunk0 .. chunk0 + n_chunks`` (traceable core).
 
     ``spill0`` is the overlap carried into the first chunk's block head
@@ -76,8 +81,14 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
     per-position argmax/max is taken inside the scan so the genome-length
     f32 probability blocks never materialize (a chr1-scale scan would
     otherwise hold ~5 GB in HBM).  Also used per-device inside the sharded
-    engine's ``shard_map`` (chunk0 then derives from the device index and
-    spill flows over ICI).
+    engine's ``shard_map`` (chunk0 then indexes the device-local shard and
+    spill carries across the host-driven slices).
+
+    ``with_head`` (scored path only) additionally returns the raw merged
+    f32 rows of each chunk's block head (``[n_chunks, spill_rows, C]``) so
+    a sharded caller can re-score its region's first ``spill_rows`` rows
+    after max-combining the previous device's tail — the only rows whose
+    in-scan argmax is not final at a shard boundary.
     """
     vecsize = model.config.vecsize
     k = -(-vecsize // step)
@@ -104,14 +115,20 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
         else:
             new_spill = spill
         if score:
-            return new_spill, (block.argmax(axis=1).astype(jnp.int8),
-                               block.max(axis=1))
+            ys = (block.argmax(axis=1).astype(jnp.int8), block.max(axis=1))
+            if with_head:
+                ys = ys + (block[:max(spill_rows, 0)],)
+            return new_spill, ys
         return new_spill, block
 
     final_spill, ys = jax.lax.scan(chunk_fn, spill0,
                                    chunk0 + jnp.arange(n_chunks))
     rows = n_chunks * block_rows
     if score:
+        if with_head:
+            classes, maxp, heads = ys
+            return (classes.reshape(rows), maxp.reshape(rows), heads,
+                    final_spill)
         classes, maxp = ys
         return classes.reshape(rows), maxp.reshape(rows), final_spill
     n_classes = model.config.n_classes
@@ -123,10 +140,10 @@ def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
     return jnp.zeros((spill_rows, model.config.n_classes), jnp.float32)
 
 
-# Chunks per pipelined slice.  One compiled slice program (chunk0 is a
-# traced scalar) covers every slice of every sequence length — a whole
-# genome scan compiles exactly one forward program, and fetching slice i
-# overlaps with the device computing slices i+1.. (async dispatch).
+# Chunks per pipelined slice.  chunk0 is a traced scalar, so one compiled
+# slice program covers every slice of a given padded-length bucket (the
+# traced seqblocks shape still varies across length buckets); fetching
+# slice i overlaps with the device computing slices i+1.. (async dispatch).
 SLICE_CHUNKS = 8
 
 
@@ -216,7 +233,9 @@ class PredictionEngine:
             params, onehot, n_windows, score=False)
         out = np.zeros((out_len, n_classes), dtype=np.float32)
         pos = 0
-        for (block,) in slices:  # fetch overlaps later slices' compute
+        for i in range(len(slices)):  # fetch overlaps later slices' compute
+            (block,) = slices[i]
+            slices[i] = None  # free the device buffer after the copy
             take = min(out_len - pos, rows_per_slice)
             if take > 0:
                 out[pos:pos + take] = np.asarray(block)[:take]
@@ -228,10 +247,13 @@ class PredictionEngine:
         return out
 
     def _n_chunks_sliced(self, n_windows: int) -> int:
-        """Chunk count padded to the slice grid (multiple of
-        ``SLICE_CHUNKS``) so one compiled slice program covers every
-        sequence length."""
+        """Chunk count for the sliced dispatch: exact when the scan fits in
+        one slice (short sequences run no masked padding chunks), else
+        padded to the slice grid (multiple of ``SLICE_CHUNKS``) so one
+        compiled slice program covers every long sequence."""
         n_chunks = -(-n_windows // self.batch_size)
+        if n_chunks <= SLICE_CHUNKS:
+            return n_chunks
         return -(-n_chunks // SLICE_CHUNKS) * SLICE_CHUNKS
 
     def _dispatch_slices(self, params, onehot: np.ndarray, n_windows: int,
@@ -244,18 +266,19 @@ class PredictionEngine:
         device->host transfer entirely behind compute.
         """
         n_chunks = self._n_chunks_sliced(n_windows)
+        slice_chunks = min(n_chunks, SLICE_CHUNKS)
         seqblocks = self._prepare_blocks(onehot, n_chunks)
         spill = make_spill0(self.model, self.step_size)
         n_win = jnp.int32(n_windows)
         outs = []
-        for chunk0 in range(0, n_chunks, SLICE_CHUNKS):
+        for chunk0 in range(0, n_chunks, slice_chunks):
             *ys, spill = _scan_slice(params, seqblocks, n_win,
                                      jnp.int32(chunk0), spill, self.model,
                                      self.step_size, self.batch_size,
-                                     SLICE_CHUNKS, self.compute_dtype,
+                                     slice_chunks, self.compute_dtype,
                                      score)
             outs.append(ys)
-        return outs, spill, SLICE_CHUNKS * self.batch_size * self.step_size
+        return outs, spill, slice_chunks * self.batch_size * self.step_size
 
     def _n_chunks(self, n_windows: int) -> int:
         """Chunk count, bucketed to the next multiple of 8 (above 8).
@@ -328,7 +351,9 @@ class PredictionEngine:
         slices, spill, rows_per_slice = self._dispatch_slices(
             params, onehot, n_windows, score=True)
         pos = 0
-        for classes_s, maxp_s in slices:
+        for i in range(len(slices)):
+            classes_s, maxp_s = slices[i]
+            slices[i] = None  # free the device buffers after the copy
             take = min(out_len - pos, rows_per_slice)
             if take > 0:
                 out_classes[pos:pos + take] = np.asarray(classes_s)[:take]
@@ -342,26 +367,17 @@ class PredictionEngine:
         return out_classes, out_maxp
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "step"))
-def _blocks_from_codes(codes: jax.Array, n_blocks: int,
-                       step: int) -> jax.Array:
-    """Expand compact base codes to one-hot block-rows on device.
-
-    ``codes int8 [n_blocks*step]`` with pad value 5 (out of range ->
-    all-zero one-hot row, matching the host path's zero padding).
-    """
-    onehot = jax.nn.one_hot(codes, 5, dtype=jnp.int8)
-    return onehot.reshape(n_blocks, step, 5)
-
-
 def prepare_blocks(seq_repr: np.ndarray, step: int, vecsize: int, batch: int,
                    n_chunks: int) -> jax.Array:
-    """Pad and reshape a sequence into device ``[n_blocks, step, 5]``.
+    """Pad and reshape a sequence into device block-rows.
 
-    Accepts either the reference's one-hot layout ``int8 [5, L]`` or the
-    compact code representation ``int8 [L]`` (A=0..T=3, N=4).  The codes
-    path transfers 5x less to the device and expands to one-hot there —
-    the production choice when the chip sits behind a slow host link.
+    Accepts either the reference's one-hot layout ``int8 [5, L]``
+    (-> ``[n_blocks, step, 5]``) or the compact code representation
+    ``int8 [L]`` (A=0..T=3, N=4 -> ``[n_blocks, step]``, pad value 5 whose
+    one-hot is all-zero).  The codes path transfers AND stores 5x less;
+    ``chunk_windows`` expands codes to one-hot per chunk on device — the
+    production choice for chromosome-scale inputs (chr1 one-hot block-rows
+    would hold ~1.25 GB HBM; codes hold ~250 MB).
     """
     k = -(-vecsize // step)
     n_blocks = n_chunks * batch + k
@@ -369,13 +385,11 @@ def prepare_blocks(seq_repr: np.ndarray, step: int, vecsize: int, batch: int,
     if seq_repr.ndim == 1:
         codes = seq_repr
         if rows > codes.shape[0]:
-            # Pad value 5: one_hot(5, 5) is all-zero, like the host pad.
             codes = np.pad(codes, (0, rows - codes.shape[0]),
                            constant_values=5)
         else:
             codes = codes[:rows]
-        return _blocks_from_codes(jnp.asarray(codes, jnp.int8), n_blocks,
-                                  step)
+        return jnp.asarray(codes, jnp.int8).reshape(n_blocks, step)
     seq = seq_repr.T  # [L, 5], int8
     if rows > seq.shape[0]:
         seq = np.pad(seq, ((0, rows - seq.shape[0]), (0, 0)))

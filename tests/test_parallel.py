@@ -128,6 +128,62 @@ def test_graft_entry_multichip():
     __graft_entry__.dryrun_multichip(len(jax.devices()))
 
 
+@pytest.mark.parametrize("seq_len", [5000, 1603, 12345])
+def test_sharded_predict_scored_matches_single_device(setup, seq_len):
+    # The genome-scale scored path (in-scan argmax, boundary re-scoring)
+    # must be bit-identical to the single-device engine.
+    options, model, params = setup
+    onehot = make_onehot(seq_len, seed=seq_len + 1)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=16,
+                                      step_size=10)
+    single = PredictionEngine(model, batch_size=16, step_size=10)
+    c_sh, m_sh = sharded.predict_scored(params, onehot)
+    c_si, m_si = single.predict_scored(params, onehot)
+    np.testing.assert_array_equal(c_sh, c_si)
+    np.testing.assert_array_equal(m_sh, m_si)
+
+
+def test_sharded_scored_partial_device_coverage(setup):
+    # Window count that leaves trailing devices fully masked and one device
+    # partially masked: boundary spills at the real/masked frontier must
+    # still land exactly like the single-device scan.
+    options, model, params = setup
+    mesh = make_mesh()
+    for seq_len in (700, 1100):
+        onehot = make_onehot(seq_len, seed=seq_len)
+        sharded = ShardedPredictionEngine(model, mesh, batch_size=4,
+                                          step_size=10)
+        single = PredictionEngine(model, batch_size=4, step_size=10)
+        c_sh, m_sh = sharded.predict_scored(params, onehot)
+        c_si, m_si = single.predict_scored(params, onehot)
+        np.testing.assert_array_equal(c_sh, c_si)
+        np.testing.assert_array_equal(m_sh, m_si)
+
+
+def test_sharded_scored_genome_scale():
+    # >= 10 Mbp through the sharded scored path on the CPU mesh: the
+    # per-device sequence shards + in-scan scoring keep every array small
+    # (no genome-length f32 matrix anywhere).  A tiny model keeps the CPU
+    # forward cheap; the memory/indexing structure is what's under test.
+    options = Options(vecsize=25, units=4, batch_size=512,
+                      repeats_to_search=[1, 2])
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(7))
+    seq_len = 10_000_000
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=seq_len).astype(np.int8)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=512,
+                                      step_size=50)
+    c_sh, m_sh = sharded.predict_scored(params, codes)
+    assert c_sh.shape == (seq_len,) and m_sh.shape == (seq_len,)
+    single = PredictionEngine(model, batch_size=512, step_size=50)
+    c_si, m_si = single.predict_scored(params, codes)
+    np.testing.assert_array_equal(c_sh, c_si)
+    np.testing.assert_array_equal(m_sh, m_si)
+
+
 def test_sharded_predict_codes_input_matches_one_hot(setup):
     # The sharded engine also accepts the compact [L] code representation.
     options, model, params = setup
