@@ -4,20 +4,24 @@
 Measures the flagship model (reference defaults.toml: vecsize=342, GRU
 units=60, additive attention) scanning a synthetic chromosome with the
 production engine, on the default JAX platform (the real TPU chip under the
-driver).  The baseline is the reference's TF2-CPU envelope, stood in for by
-an equivalent torch-CPU model (same architecture and math; torch's fused
-GRU is, if anything, faster than TF2's generic CPU graph executor) run with
-the reference Docker envelope's OMP_NUM_THREADS=4
-(reference Dockerfile:13-14).  The baseline number is cached in
-BENCH_BASELINE.json so repeat runs don't re-measure it.
+driver).  The baseline is the ACTUAL reference implementation: the TF2
+Keras model built by ``/root/reference/deepgrp/model.py:293-336`` running
+``predict_on_batch`` on CPU in the reference envelope (OMP_NUM_THREADS=4,
+batch 256 — reference Dockerfile:13-14, __main__.py:104-116), measured in
+a subprocess and cached in BENCH_BASELINE.json (a torch stand-in is the
+fallback where TF is unavailable).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+float32 production path — plus an "extra" object with the bfloat16
+inference throughput and fused-train-step throughput (steps/s, with the
+reference ``model.fit`` steps/s as its own baseline).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -53,8 +57,9 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure_tpu(codes: np.ndarray) -> float:
+def measure_tpu(codes: np.ndarray, precision: str = "float32") -> float:
     import jax
+    import jax.numpy as jnp
 
     _enable_compile_cache()
     from deepgrp_tpu.predict.engine import PredictionEngine, window_starts
@@ -62,7 +67,9 @@ def measure_tpu(codes: np.ndarray) -> float:
 
     options, model = flagship()
     params = jax.device_put(model.init(jax.random.PRNGKey(0)))
-    engine = PredictionEngine(model, batch_size=BATCH, step_size=STEP)
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    engine = PredictionEngine(model, batch_size=BATCH, step_size=STEP,
+                              compute_dtype=dtype)
 
     n_windows = window_starts(codes.shape[-1], options.vecsize, STEP).size
 
@@ -85,8 +92,128 @@ def measure_tpu(codes: np.ndarray) -> float:
     return n_windows / elapsed
 
 
+def measure_train(codes: np.ndarray) -> float:
+    """Fused train step throughput (steps/s) at the flagship config."""
+    import jax
+
+    _enable_compile_cache()
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.data.preprocess import Data
+    from deepgrp_tpu.train.optimizers import get_optimizer
+    from deepgrp_tpu.train.sampler import BatchSampler
+    from deepgrp_tpu.train.training import _train_step
+
+    options, model = flagship()
+    options.batch_size = 256  # reference training batch (model.py:101)
+    length = min(codes.shape[-1], 1_000_000)
+    fwd = np.zeros((5, length), dtype=np.int8)
+    fwd[codes[:length], np.arange(length)] = 1
+    truelbl = np.zeros((5, length), dtype=np.int8)
+    rng = np.random.default_rng(1)
+    for cls in range(1, 5):  # planted labels so the sampler has candidates
+        for _ in range(40):
+            start = int(rng.integers(0, length - 600))
+            truelbl[cls, start:start + 500] = 1
+    truelbl[0] = truelbl[1:].sum(axis=0) == 0
+    sampler = BatchSampler(options, Data(fwd=fwd, truelbl=truelbl))
+    optimizer = get_optimizer(options)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    sampler_static = (sampler.n_sampled_classes, sampler.one_class_size,
+                      sampler.batch_size, sampler.seq_len)
+    key = jax.random.PRNGKey(0)
+
+    def step(params, opt_state, i):
+        return _train_step(params, opt_state, jax.random.fold_in(key, i),
+                           sampler._fwd, sampler._lbl, sampler._candidates,
+                           sampler._lengths, sampler_static, model,
+                           optimizer, int(options.vecsize))
+
+    params, opt_state, loss = step(params, opt_state, 0)  # compile
+    loss.block_until_ready()
+    reps = 20
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        params, opt_state, loss = step(params, opt_state, i)
+    loss.block_until_ready()
+    return reps / (time.perf_counter() - t0)
+
+
+# Runs in a subprocess: the ACTUAL reference model under TF (tf_keras
+# legacy mode, toml shimmed), predict_on_batch + fit throughput on CPU in
+# the reference envelope.  Prints one JSON line.
+_TF_BASELINE_SCRIPT = r"""
+import json, os, sys, time, types
+import numpy as np
+
+import tomllib
+shim = types.ModuleType("toml")
+shim.load = lambda f: tomllib.loads(f.read())
+shim.loads = tomllib.loads
+sys.modules.setdefault("toml", shim)
+sys.path.insert(0, "/root/reference")
+
+import tensorflow as tf
+import deepgrp.model as refmodel
+
+tf.config.threading.set_inter_op_parallelism_threads(2)
+tf.config.threading.set_intra_op_parallelism_threads(2)
+
+options = refmodel.Options(vecsize=342, units=60, attention=True,
+                           dropout=0.0928)
+model = refmodel.create_model(options)
+batch = 256  # reference default inference batch (__main__.py:104-108)
+x = np.random.rand(batch, options.vecsize, 5).astype(np.float32)
+
+model.predict_on_batch(x)  # build + warmup
+reps = 4
+t0 = time.perf_counter()
+for _ in range(reps):
+    model.predict_on_batch(x)
+predict_wps = reps * batch / (time.perf_counter() - t0)
+
+y = np.random.rand(batch, options.vecsize, 5).astype(np.float32)
+y = (y == y.max(axis=2, keepdims=True)).astype(np.float32)
+model.train_on_batch(x, y)  # build + warmup
+reps = 4
+t0 = time.perf_counter()
+for _ in range(reps):
+    model.train_on_batch(x, y)
+train_sps = reps / (time.perf_counter() - t0)
+
+print(json.dumps({"windows_per_sec": predict_wps,
+                  "train_steps_per_sec": train_sps}))
+"""
+
+
+def measure_tf_cpu_baseline():
+    """Run the real reference TF model benchmark in a subprocess.
+
+    Returns ``(windows_per_sec, train_steps_per_sec)`` or ``None`` when the
+    reference/TF stack is unavailable.
+    """
+    env = dict(os.environ, TF_USE_LEGACY_KERAS="1", TF_ENABLE_ONEDNN_OPTS="0",
+               TF_CPP_MIN_LOG_LEVEL="3", OMP_NUM_THREADS="4",
+               CUDA_VISIBLE_DEVICES="", JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run([sys.executable, "-c", _TF_BASELINE_SCRIPT],
+                              capture_output=True, text=True, timeout=900,
+                              env=env)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            data = json.loads(line)
+            return float(data["windows_per_sec"]), float(
+                data["train_steps_per_sec"])
+        except (ValueError, KeyError):
+            continue
+    return None
+
+
 def measure_torch_cpu_baseline() -> float:
-    """Reference-equivalent model in torch on CPU, 4 threads, batch 256."""
+    """Fallback baseline: reference-equivalent torch model on CPU,
+    4 threads, batch 256 (used only where TF is unavailable)."""
     import torch
 
     torch.set_num_threads(4)
@@ -123,27 +250,51 @@ def measure_torch_cpu_baseline() -> float:
     return reps * batch / elapsed
 
 
-def get_baseline() -> float:
+def get_baseline() -> dict:
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return float(json.load(f)["windows_per_sec_cpu_reference"])
-    baseline = measure_torch_cpu_baseline()
+            data = json.load(f)
+        if "source" in data:  # new-format cache (real TF measurement)
+            return data
+    tf_numbers = measure_tf_cpu_baseline()
+    if tf_numbers is not None:
+        data = {"windows_per_sec_cpu_reference": tf_numbers[0],
+                "train_steps_per_sec_cpu_reference": tf_numbers[1],
+                "source": "TF2 reference model (tf_keras), CPU, OMP=4, "
+                          "batch=256, flagship config"}
+    else:
+        data = {"windows_per_sec_cpu_reference":
+                measure_torch_cpu_baseline(),
+                "train_steps_per_sec_cpu_reference": None,
+                "source": "torch-CPU stand-in (TF unavailable), OMP=4, "
+                          "batch=256, flagship config"}
     with open(BASELINE_FILE, "w") as f:
-        json.dump({"windows_per_sec_cpu_reference": baseline,
-                   "note": "torch-CPU stand-in for TF2-CPU reference, "
-                           "OMP=4, batch=256, flagship config"}, f)
-    return baseline
+        json.dump(data, f, indent=2)
+    return data
 
 
 def main() -> None:
     codes = make_sequence(SEQ_LEN)
     baseline = get_baseline()
+    base_wps = float(baseline["windows_per_sec_cpu_reference"])
     throughput = measure_tpu(codes)
+    throughput_bf16 = measure_tpu(codes, precision="bfloat16")
+    train_sps = measure_train(codes)
+    base_train = baseline.get("train_steps_per_sec_cpu_reference")
+    extra = {
+        "windows_per_sec_bfloat16": round(throughput_bf16, 1),
+        "bfloat16_vs_baseline": round(throughput_bf16 / base_wps, 2),
+        "train_steps_per_sec": round(train_sps, 2),
+        "train_vs_baseline": (round(train_sps / base_train, 2)
+                              if base_train else None),
+        "baseline_source": baseline.get("source", "cached"),
+    }
     print(json.dumps({
         "metric": "windows_per_sec_single_chip",
         "value": round(throughput, 1),
         "unit": "windows/s",
-        "vs_baseline": round(throughput / baseline, 2),
+        "vs_baseline": round(throughput / base_wps, 2),
+        "extra": extra,
     }))
 
 

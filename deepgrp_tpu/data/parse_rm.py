@@ -153,7 +153,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     import argparse
 
     parser = argparse.ArgumentParser(
-        description="Reads Repeatmasker output to bed file (not all repeats!!)")
+        description="Convert RepeatMasker .out annotations to a BED-like "
+        "TSV, keeping only the repeat families this framework models")
     parser.add_argument("file", type=argparse.FileType("r"),
                         help="Repeatmasker output")
     parser.add_argument("-o", "--outputfile", type=str, default=None,

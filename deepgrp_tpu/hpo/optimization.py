@@ -67,6 +67,21 @@ def _update_options(options: Options, dictionary: Dict[str, Any]) -> Options:
     return options
 
 
+def evaluate_trained(options: Options, step_size: int, logdir: PathLike,
+                     val_data: Data, params) -> Dict[str, Any]:
+    """MSS-post-processed validation metrics for trained parameters
+    (the evaluation half of the reference objective,
+    optimization.py:58-68)."""
+    predictions = predict_complete(step_size, options, logdir, val_data,
+                                   use_mss=True, params=params)
+    is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
+    predictions_class = predictions[is_not_na].argmax(axis=1)
+    filter_segments(predictions_class, options.min_mss_len)
+    _, metrics = calculate_metrics(
+        predictions_class, val_data.truelbl[:, is_not_na].argmax(axis=0))
+    return metrics
+
+
 def build_and_optimize(
         train_data: Data, val_data: Data, step_size: int, options: Options,
         options_dict: Dict[str, Union[str, float]]) -> Dict[str, Any]:
@@ -78,14 +93,8 @@ def build_and_optimize(
         model = create_model(options)
         best_params, _ = training((train_data, val_data), options, model,
                                   logdir)
-        predictions = predict_complete(step_size, options, logdir, val_data,
-                                       use_mss=True, params=best_params)
-        is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
-        predictions_class = predictions[is_not_na].argmax(axis=1)
-        filter_segments(predictions_class, options.min_mss_len)
-        _, metrics = calculate_metrics(
-            predictions_class, val_data.truelbl[:, is_not_na].argmax(axis=0))
-        return metrics
+        return evaluate_trained(options, step_size, logdir, val_data,
+                                best_params)
 
     results: Dict[str, Any] = {
         "loss": np.inf,

@@ -41,7 +41,8 @@ _TIME_BLOCK = 8
 
 
 def _gru_kernel(x_ref, w_ref, bin_ref, u_ref, brec_ref, seq_ref, last_ref,
-                h_ref, *, units: int, last_tile: int, last_sub: int):
+                h_ref, *, units: int, time_block: int, last_tile: int,
+                last_sub: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -50,13 +51,13 @@ def _gru_kernel(x_ref, w_ref, bin_ref, u_ref, brec_ref, seq_ref, last_ref,
 
     block_b = x_ref.shape[0]
     channels = x_ref.shape[2]
-    # One MXU dot covers the input projections of all 8 sub-steps.
-    xp_all = jnp.dot(x_ref[:].reshape(block_b * _TIME_BLOCK, channels),
+    # One MXU dot covers the input projections of all sub-steps.
+    xp_all = jnp.dot(x_ref[:].reshape(block_b * time_block, channels),
                      w_ref[:], preferred_element_type=jnp.float32)
-    xp_all = xp_all.reshape(block_b, _TIME_BLOCK, 3 * units) + bin_ref[0]
+    xp_all = xp_all.reshape(block_b, time_block, 3 * units) + bin_ref[0]
 
     h = h_ref[:]
-    for s in range(_TIME_BLOCK):
+    for s in range(time_block):
         xp = xp_all[:, s, :]
         rp = jnp.dot(h, u_ref[:],
                      preferred_element_type=jnp.float32) + brec_ref[0]
@@ -72,28 +73,29 @@ def _gru_kernel(x_ref, w_ref, bin_ref, u_ref, brec_ref, seq_ref, last_ref,
     h_ref[:] = h
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "time_block", "interpret"))
 def _pallas_gru(x: jax.Array, kernel: jax.Array, bias: jax.Array,
-                recurrent: jax.Array, block_b: int,
+                recurrent: jax.Array, block_b: int, time_block: int,
                 interpret: bool) -> Tuple[jax.Array, jax.Array]:
     batch, t_steps, channels = x.shape
     units = recurrent.shape[0]
     pad_b = (-batch) % block_b
-    pad_t = (-t_steps) % _TIME_BLOCK
+    pad_t = (-t_steps) % time_block
     if pad_b or pad_t:
         x = jnp.pad(x, ((0, pad_b), (0, pad_t), (0, 0)))
     padded_b = batch + pad_b
     padded_t = t_steps + pad_t
 
     io_dtype = x.dtype
-    grid = (padded_b // block_b, padded_t // _TIME_BLOCK)
+    grid = (padded_b // block_b, padded_t // time_block)
     seq, last = pl.pallas_call(
-        functools.partial(_gru_kernel, units=units,
-                          last_tile=(t_steps - 1) // _TIME_BLOCK,
-                          last_sub=(t_steps - 1) % _TIME_BLOCK),
+        functools.partial(_gru_kernel, units=units, time_block=time_block,
+                          last_tile=(t_steps - 1) // time_block,
+                          last_sub=(t_steps - 1) % time_block),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, _TIME_BLOCK, channels),
+            pl.BlockSpec((block_b, time_block, channels),
                          lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((channels, 3 * units), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -105,7 +107,7 @@ def _pallas_gru(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, _TIME_BLOCK, units),
+            pl.BlockSpec((block_b, time_block, units),
                          lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, units), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -125,6 +127,7 @@ def pallas_gru_apply(params, x: jax.Array, *,
                      dropout_rate=0.0,
                      dropout_key: Optional[jax.Array] = None,
                      block_b: int = 512,
+                     time_block: int = _TIME_BLOCK,
                      interpret: bool = False,
                      unroll: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for :func:`rnn.gru_apply` (inference only)."""
@@ -135,7 +138,7 @@ def pallas_gru_apply(params, x: jax.Array, *,
         raise ValueError("pallas GRU kernel is inference-only (no dropout)")
     block_b = min(block_b, max(x.shape[0], 8))
     return _pallas_gru(x, params["kernel"], params["bias"],
-                       params["recurrent"], block_b, interpret)
+                       params["recurrent"], block_b, time_block, interpret)
 
 
 def make_interpret_apply(block_b: int = 128):

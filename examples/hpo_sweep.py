@@ -3,10 +3,11 @@
 
 Runs the published DeepGRP TPE search space with ``results.pkl``
 save/resume every ``--save-step`` trials, exactly like the reference
-notebook workflow.  With ``--parallel N`` the continuous dimensions
-(learning_rate, momentum, rho, dropout) are instead swept N-at-a-time
-under one vmapped train step (vecsize/units fixed to the tuned values) —
-the TPU-native fast path.
+notebook workflow.  With ``--parallel N`` the SAME full space (including
+the qnormal vecsize/units architecture dimensions) is swept N proposals
+per round, grouped by shape bucket and trained vmapped within each bucket
+— the TPU-native fast path.  ``--compare`` additionally times an
+equal-sized serial sweep and prints the speedup.
 
 Usage:
     python examples/hpo_sweep.py chr11.fa.gz.npz chr20.fa.gz.npz \
@@ -16,14 +17,15 @@ Usage:
 import argparse
 import functools
 import os
+import time
 
 import numpy as np
 
 from deepgrp_tpu.config import Options
 from deepgrp_tpu.data import preprocess as prep
 from deepgrp_tpu.hpo import build_and_optimize, run_a_trial
-from deepgrp_tpu.hpo.space import reference_search_space, sample_space
-from deepgrp_tpu.hpo.vmapped import run_parallel_trials
+from deepgrp_tpu.hpo.bucketed import run_bucketed_sweep
+from deepgrp_tpu.hpo.space import reference_search_space
 
 
 def load_chromosome(npz_path, bedfile, repeats):
@@ -44,7 +46,11 @@ def main():
     parser.add_argument("--root", default="sweep")
     parser.add_argument("--step-size", type=int, default=50)
     parser.add_argument("--parallel", type=int, default=0,
-                        help="N simultaneous vmapped trials (0 = TPE)")
+                        help="TPE proposals per round, trained vmapped "
+                        "within shape buckets (0 = serial TPE)")
+    parser.add_argument("--compare", action="store_true",
+                        help="with --parallel: also time an equal serial "
+                        "sweep and print the speedup")
     parser.add_argument("--config", default=None,
                         help="TOML base config (default: reference defaults)")
     parser.add_argument("--space", choices=["reference", "quick"],
@@ -66,20 +72,27 @@ def main():
     os.makedirs(args.root, exist_ok=True)
 
     if args.parallel:
-        base = Options(vecsize=342, units=60, attention=True,
-                       project_root_dir=args.root)
         space = reference_search_space()
-        rng = np.random.default_rng(0)
-        trial_dicts = []
-        for _ in range(args.parallel):
-            sample = sample_space(space, rng)
-            trial_dicts.append({k: sample[k] for k in
-                                ("learning_rate", "momentum", "rho",
-                                 "dropout")})
-        results = run_parallel_trials(base, trial_dicts, train_data,
-                                      val_data)
-        for trial, result in zip(trial_dicts, results):
-            print(trial, "->", result["val_loss"])
+        start = time.perf_counter()
+        trials = run_bucketed_sweep(space, options, train_data, val_data,
+                                    args.step_size, args.root,
+                                    max_evals=args.trials,
+                                    batch_evals=args.parallel, seed=0)
+        parallel_s = time.perf_counter() - start
+        best = trials.best_trial()
+        print(f"bucketed sweep: {len(trials)} trials in {parallel_s:.1f}s; "
+              f"best loss {best['result']['loss'] if best else 'n/a'}")
+        if args.compare:
+            objective = functools.partial(build_and_optimize, train_data,
+                                          val_data, args.step_size, options)
+            serial_root = os.path.join(args.root, "serial_baseline")
+            os.makedirs(serial_root, exist_ok=True)
+            start = time.perf_counter()
+            run_a_trial(reference_search_space(), objective, serial_root,
+                        args.trials, seed=0)
+            serial_s = time.perf_counter() - start
+            print(f"serial sweep: {args.trials} trials in {serial_s:.1f}s "
+                  f"-> bucketed speedup {serial_s / parallel_s:.2f}x")
         return
 
     objective = functools.partial(build_and_optimize, train_data, val_data,

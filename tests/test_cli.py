@@ -1,6 +1,7 @@
 """End-to-end CLI tests (reference: deepgrp/__main__.py)."""
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -144,3 +145,22 @@ def test_predict_mesh_matches_single(tmp_path, tiny_model_file, dummy_fasta):
 def test_cli_no_command_exits(capsys):
     with pytest.raises(SystemExit):
         cli.main([])
+
+
+def test_threads_prescan_sets_omp(monkeypatch):
+    # __main__ pre-scans -t/--threads into OMP_NUM_THREADS before any
+    # heavy import so BLAS/OpenMP pools are sized correctly.
+    from deepgrp_tpu.__main__ import _prescan_threads
+
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    _prescan_threads(["-b", "8", "-t", "3", "predict", "m", "f"])
+    assert os.environ["OMP_NUM_THREADS"] == "3"
+    monkeypatch.setenv("OMP_NUM_THREADS", "7")
+    _prescan_threads(["-t", "2"])  # existing value wins
+    assert os.environ["OMP_NUM_THREADS"] == "7"
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    _prescan_threads(["--threads=4"])
+    assert os.environ["OMP_NUM_THREADS"] == "4"
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    _prescan_threads(["-t", "0"])  # 0 = all threads: leave unset
+    assert "OMP_NUM_THREADS" not in os.environ

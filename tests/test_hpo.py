@@ -1,5 +1,7 @@
 """HPO tests: search space, TPE, objective parity, vmapped trials."""
 
+import json
+import os
 import pickle
 
 import numpy as np
@@ -12,6 +14,7 @@ from deepgrp_tpu.hpo import (STATUS_FAIL, STATUS_OK, Trials,
 from deepgrp_tpu.hpo.space import (lognormal, qnormal,
                                    reference_search_space, sample_space,
                                    uniform)
+from deepgrp_tpu.hpo.bucketed import run_bucketed_sweep, shape_bucket_key
 from deepgrp_tpu.hpo.tpe import suggest
 from deepgrp_tpu.hpo.vmapped import run_parallel_trials
 
@@ -100,6 +103,17 @@ def test_build_and_optimize_ok_path(tmp_path):
     assert result["Metrics"] is not None
     assert result["options"]["vecsize"] == 20  # int coercion
     assert result["logdir"] is not None
+    # Observability parity (reference optimization.py:54,82-88): the trial
+    # logdir records the searched hyperparameters and the final MCC.
+    with open(os.path.join(result["logdir"], "hparams.json")) as fh:
+        hparams = json.load(fh)
+    assert hparams["learning_rate"] == 0.05
+    assert hparams["units"] == 8.0
+    records = [json.loads(line) for line in
+               open(os.path.join(result["logdir"], "metrics.jsonl"))]
+    mccs = [r["hpo/MCC"] for r in records if "hpo/MCC" in r]
+    assert len(mccs) == 1
+    assert mccs[0] == pytest.approx(-result["loss"])
 
 
 def test_build_and_optimize_failure_path(tmp_path):
@@ -148,5 +162,43 @@ def test_parallel_trials_match_varying_lr(tmp_path):
 def test_parallel_trials_reject_shape_keys(tmp_path):
     options = base_options(tmp_path)
     with pytest.raises(ValueError, match="can only vary"):
-        run_parallel_trials(options, [{"vecsize": 30}], make_tiny_data(0),
-                            make_tiny_data(1))
+        run_parallel_trials(options, [{"vecsize": 30}, {"vecsize": 30}],
+                            make_tiny_data(0), make_tiny_data(1))
+
+
+def test_bucketed_sweep_covers_shape_dimensions(tmp_path):
+    # The full-space parallel path: vecsize/units/repeat_probability vary
+    # across proposals; same-shape trials train under one vmap, and the
+    # sweep records every proposal with the serial result schema + resume.
+    space = {
+        "vecsize": qnormal("vecsize", 20, 3, 2),
+        "units": qnormal("units", 6, 2, 2),
+        "learning_rate": lognormal("learning_rate", -4, 0.5),
+        "dropout": uniform("dropout", 0, 0.2),
+        "repeat_probability": uniform("repeat_probability", 0.1, 0.45),
+    }
+    options = base_options(tmp_path)
+    options.n_epochs = 5
+    options.n_batches = 8
+    options.batch_size = 16
+    trials = run_bucketed_sweep(space, options, make_tiny_data(0),
+                                make_tiny_data(1), step_size=10,
+                                project_root_dir=str(tmp_path),
+                                max_evals=5, batch_evals=5, seed=3)
+    assert len(trials) == 5
+    keys = {shape_bucket_key(options, t["params"]) for t in trials.trials}
+    assert len(keys) > 1  # architecture dimensions actually varied
+    ok = [t for t in trials.trials if t["result"]["status"] == STATUS_OK]
+    assert ok, "no trial succeeded"
+    for t in ok:
+        assert np.isfinite(t["result"]["loss"])
+        assert t["result"]["options"]["vecsize"] == int(
+            t["params"]["vecsize"])
+        assert os.path.exists(
+            os.path.join(t["result"]["logdir"], "hparams.json"))
+    # resume: a second call stacks more trials onto the pickle
+    trials = run_bucketed_sweep(space, options, make_tiny_data(0),
+                                make_tiny_data(1), step_size=10,
+                                project_root_dir=str(tmp_path),
+                                max_evals=2, batch_evals=2, seed=4)
+    assert len(trials) == 7
