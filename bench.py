@@ -130,12 +130,14 @@ def measure_train(codes: np.ndarray) -> float:
                            optimizer, int(options.vecsize))
 
     params, opt_state, loss = step(params, opt_state, 0)  # compile
-    loss.block_until_ready()
+    float(loss)  # real fetch: block_until_ready alone is unreliable on
+    # tunneled platforms; an in-order stream makes one scalar fetch wait
+    # for everything enqueued before it.
     reps = 20
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         params, opt_state, loss = step(params, opt_state, i)
-    loss.block_until_ready()
+    float(loss)
     return reps / (time.perf_counter() - t0)
 
 

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compile-cache", type=str, default=None,
                         metavar="DIR",
                         help="Persistent XLA compilation cache directory")
+    parser.add_argument("--rnn-kernel", choices=["auto", "scan", "fused"],
+                        default="auto",
+                        help="Recurrence implementation: 'scan' (XLA; "
+                        "float32 default, bitwise reference parity), "
+                        "'fused' (Pallas fwd+revcomp GRU kernel), 'auto' "
+                        "(fused on TPU for GRU in bfloat16)")
 
     subparsers = parser.add_subparsers(help="sub-command help",
                                        dest="command")
@@ -190,11 +196,13 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
         engine = ShardedPredictionEngine(model, make_mesh(),
                                          batch_size=options.batch_size,
                                          step_size=args.step_size,
-                                         compute_dtype=dtype)
+                                         compute_dtype=dtype,
+                                         rnn_kernel=args.rnn_kernel)
     else:
         engine = PredictionEngine(model, batch_size=options.batch_size,
                                   step_size=args.step_size,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype,
+                                  rnn_kernel=args.rnn_kernel)
 
     outstream = sys.stdout if args.output == "-" else open(args.output, "w")
     try:

@@ -182,6 +182,39 @@ def forward_logits(params: Params, x: jax.Array, config: ModelConfig, *,
         return feats @ params["dense"]["kernel"] + params["dense"]["bias"]
 
 
+def forward_probs_from_codes(params: Params, codes: jax.Array,
+                             config: ModelConfig,
+                             compute_dtype=jnp.float32) -> jax.Array:
+    """Fused-kernel forward: integer code windows -> class probabilities.
+
+    GRU-only fast path for TPU inference: the fwd+revcomp recurrence and
+    branch averaging run inside one Pallas kernel
+    (models/pallas_rnn.py:pallas_gru_avg); only the tiny attention + dense
+    head runs in XLA.  Numerically equivalent to :func:`forward` on the
+    one-hot expansion of ``codes`` (the kernel's input projection is an
+    exact row select), up to matmul rounding.
+    """
+    from deepgrp_tpu.models.pallas_rnn import pallas_gru_avg
+
+    if config.rnn == "LSTM":
+        raise ValueError("fused code-window forward supports GRU only")
+    avg, hidden = pallas_gru_avg(params["rnn"], codes,
+                                 out_dtype=compute_dtype)
+    with jax.default_matmul_precision(
+            "highest" if compute_dtype == jnp.float32 else "default"):
+        if config.use_attention:
+            att = additive_attention(
+                params["attention"]["scale"].astype(compute_dtype), hidden,
+                avg)
+            feats = jnp.concatenate(
+                [jnp.broadcast_to(att[:, None, :], avg.shape), avg], axis=-1)
+        else:
+            feats = avg
+        logits = (feats @ params["dense"]["kernel"].astype(compute_dtype)
+                  + params["dense"]["bias"].astype(compute_dtype))
+    return jax.nn.softmax(logits, axis=-1)
+
+
 @dataclass(frozen=True)
 class DeepGRPModel:
     """Bundled config + parameter factory + apply functions."""

@@ -150,3 +150,175 @@ def make_interpret_apply(block_b: int = 128):
                                 **kwargs)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# v2: the production inference kernel.  Lessons from the v1 sweep
+# (benchmarks/rnn_kernel_bench.json): (a) a one-hot ``[bb, tb, 5]`` input
+# block lane-pads 5 -> 128 (25x VMEM waste), capping block_b at 256 and
+# serializing the batch into dots 8x smaller than XLA's scan — v1 loses
+# everywhere; (b) the per-step latency win must come from keeping the FULL
+# doubled-batch hidden state in VMEM and cutting HBM round-trips.  v2
+# therefore takes compact int32 base codes (no lane padding), computes the
+# input projection in-kernel as an EXACT 5-way row select of the kernel
+# weights (a one-hot matmul is a row gather — no matmul rounding, no big
+# temp), runs the forward and reverse-complement branches in ONE combined
+# ``[2*bb, u]`` hidden state (XLA-scan-sized MXU dots), and fuses the
+# branch averaging so only ``avg [B, T, u]`` ever reaches HBM — half the
+# sequence bytes XLA writes, and none of the ``[2B, T, 3u]`` projection
+# traffic the scan path spools through HBM.
+
+# DNA complement for code values 0..5 (A<->T, C<->G, N->N, pad->pad).
+_COMPLEMENT_CODES = (3, 2, 1, 0, 4, 5)
+
+
+_CODE_COLS = 128  # codes block lane width (the minimal lane tile)
+
+
+def _gru_avg_kernel(codes_ref, w_ref, bin_ref, u_ref, brec_ref,
+                    avg_ref, hidden_ref, h_ref, *, units: int,
+                    time_block: int, channels: int, last_tile: int,
+                    last_sub: int, precision):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    # codes are [2*block_b, _CODE_COLS]: rows pair each batch block's
+    # forward rows with their reverse-complement rows (host pre-pairing);
+    # one codes block covers _CODE_COLS/time_block output tiles, so the
+    # column offset of this tile's steps is derived from t.
+    block_b = codes_ref.shape[0] // 2
+    tiles_per_block = _CODE_COLS // time_block
+    col0 = (t % tiles_per_block) * time_block
+    codes_all = codes_ref[:]  # [2*bb, _CODE_COLS], one VMEM load per tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CODE_COLS), 1)
+    h = h_ref[:]
+    for s in range(time_block):
+        # [2*bb, 1] column extraction via lane-masked reduction (dynamic
+        # single-lane slices are not Mosaic-addressable).
+        code = jnp.sum(jnp.where(lane == col0 + s, codes_all, 0), axis=1,
+                       keepdims=True)
+        # Input projection as an exact row select: one-hot @ W == W[code]
+        # (pad code 5 selects nothing -> bias only, like a zero row).
+        xp = jnp.broadcast_to(bin_ref[0], (2 * block_b, 3 * units))
+        for c in range(channels):
+            xp = xp + jnp.where(code == c, w_ref[c][None, :], 0.0)
+        rp = jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision) + brec_ref[0]
+        z = jax.nn.sigmoid(xp[:, :units] + rp[:, :units])
+        r = jax.nn.sigmoid(xp[:, units:2 * units] + rp[:, units:2 * units])
+        hh = jnp.tanh(xp[:, 2 * units:] + r * rp[:, 2 * units:])
+        h = z * h + (1.0 - z) * hh
+        avg = (h[:block_b] + h[block_b:]) * 0.5
+        avg_ref[:, s, :] = avg.astype(avg_ref.dtype)
+        if s == last_sub:
+            @pl.when(t == last_tile)
+            def _(avg_last=avg):
+                hidden_ref[:] = avg_last.astype(hidden_ref.dtype)
+    h_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "time_block",
+                                             "out_dtype", "interpret"))
+def _pallas_gru_avg(codes_fwd: jax.Array, codes_rev: jax.Array,
+                    kernel: jax.Array, bias: jax.Array,
+                    recurrent: jax.Array, block_b: int, time_block: int,
+                    out_dtype, interpret: bool
+                    ) -> Tuple[jax.Array, jax.Array]:
+    batch, t_steps = codes_fwd.shape
+    channels = kernel.shape[0]
+    units = recurrent.shape[0]
+    pad_b = (-batch) % block_b
+    pad_t = (-t_steps) % time_block
+    if pad_b or pad_t:
+        codes_fwd = jnp.pad(codes_fwd, ((0, pad_b), (0, pad_t)),
+                            constant_values=channels)  # pad -> zero row
+        codes_rev = jnp.pad(codes_rev, ((0, pad_b), (0, pad_t)),
+                            constant_values=channels)
+    padded_b = batch + pad_b
+    padded_t = t_steps + pad_t
+    n_bblocks = padded_b // block_b
+    # Codes ride in [2B, T128] layout: rows pre-pair each batch block's
+    # forward rows with its reverse-complement rows (the kernel's combined
+    # doubled batch is one contiguous row range), and the time dim pads to
+    # the 128-lane tile so a (2*block_b, 128) block satisfies the (8, 128)
+    # rule — a one-hot [bb, tb, 5] input block would lane-pad 5 -> 128.
+    pad_cols = (-padded_t) % _CODE_COLS
+    cf = jnp.pad(codes_fwd, ((0, 0), (0, pad_cols)),
+                 constant_values=channels).reshape(n_bblocks, block_b, -1)
+    cr = jnp.pad(codes_rev, ((0, 0), (0, pad_cols)),
+                 constant_values=channels).reshape(n_bblocks, block_b, -1)
+    codes_paired = jnp.concatenate([cf, cr], axis=1).reshape(
+        2 * padded_b, padded_t + pad_cols)
+    tiles_per_block = _CODE_COLS // time_block
+
+    # float32 output -> full-precision recurrent dot (parity-grade
+    # numerics); bfloat16 mode takes the fast MXU path.
+    precision = (jax.lax.Precision.HIGHEST if out_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid = (n_bblocks, padded_t // time_block)
+    avg, hidden = pl.pallas_call(
+        functools.partial(_gru_avg_kernel, units=units,
+                          time_block=time_block, channels=channels,
+                          last_tile=(t_steps - 1) // time_block,
+                          last_sub=(t_steps - 1) % time_block,
+                          precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * block_b, _CODE_COLS),
+                         lambda i, t, n=tiles_per_block: (i, t // n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 3 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((units, 3 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, time_block, units),
+                         lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, units), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_b, padded_t, units), out_dtype),
+            jax.ShapeDtypeStruct((padded_b, units), out_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * block_b, units), jnp.float32)],
+        interpret=interpret,
+    )(codes_paired.astype(jnp.int32), kernel.astype(jnp.float32),
+      bias[:1].reshape(1, 3 * units).astype(jnp.float32),
+      recurrent.astype(jnp.float32),
+      bias[1:].reshape(1, 3 * units).astype(jnp.float32))
+    return avg[:batch, :t_steps], hidden[:batch]
+
+
+def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 1024,
+                   time_block: int = _TIME_BLOCK, out_dtype=jnp.float32,
+                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused fwd+revcomp GRU with branch averaging (inference).
+
+    Args:
+        params: GRU params (Keras layout, see models/rnn.py).
+        codes: ``[B, T]`` integer base codes (A=0..T=3, N=4, pad=5).
+
+    Returns:
+        ``(avg [B, T, u], hidden_avg [B, u])`` — the per-position average
+        of the forward and reverse-complement branch outputs and the
+        average of their final states, exactly the two tensors the
+        DeepGRP head consumes (models/model.py forward_logits).
+    """
+    comp = jnp.asarray(_COMPLEMENT_CODES, dtype=codes.dtype)
+    codes_rev = comp[codes[:, ::-1]]
+    block_b = min(block_b, max(codes.shape[0], 8))
+    # Non-TPU backends run the kernel through the Pallas interpreter
+    # (slow but exact — lets CPU tests exercise the fused engine path).
+    interpret = interpret or jax.default_backend() != "tpu"
+    return _pallas_gru_avg(codes, codes_rev, params["kernel"],
+                           params["bias"], params["recurrent"], block_b,
+                           time_block, out_dtype, interpret)

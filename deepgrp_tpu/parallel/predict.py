@@ -45,11 +45,11 @@ from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, scan_chunk_range,
 @partial(jax.jit,
          static_argnames=("model", "step", "batch", "n_chunks",
                           "chunks_per_dev", "mesh", "compute_dtype", "score",
-                          "with_head"))
+                          "with_head", "fused"))
 def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
                    model: DeepGRPModel, step: int, batch: int, n_chunks: int,
                    chunks_per_dev: int, mesh: Mesh, compute_dtype,
-                   score: bool, with_head: bool):
+                   score: bool, with_head: bool, fused: bool = False):
     """One pipeline slice on every device at once.
 
     ``local_blocks [n_dev, local_blocks_per_dev(, step...)]`` is sharded on
@@ -67,7 +67,7 @@ def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
         out = scan_chunk_range(params, blocks[0], n_win_local, chunk0,
                                spill[0], model, step, batch, n_chunks,
                                compute_dtype, score=score,
-                               with_head=with_head)
+                               with_head=with_head, fused=fused)
         return tuple(y[None] for y in out)
 
     n_out = 4 if (score and with_head) else (3 if score else 2)
@@ -99,7 +99,9 @@ class ShardedPredictionEngine:
 
     def __init__(self, model: DeepGRPModel, mesh: Mesh,
                  batch_size: int = 256, step_size: int = 50,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, rnn_kernel: str = "auto"):
+        from deepgrp_tpu.predict.engine import resolve_rnn_kernel
+
         self.model = model
         self.mesh = mesh
         self.step_size = int(step_size)
@@ -109,6 +111,7 @@ class ShardedPredictionEngine:
         self.n_devices = mesh.shape[DATA_AXIS]
         self._k = k
         self._overlap = max(model.config.vecsize - self.step_size, 0)
+        self.fused = resolve_rnn_kernel(rnn_kernel, model, compute_dtype)
 
     # -- planning ----------------------------------------------------------
 
@@ -195,7 +198,8 @@ class ShardedPredictionEngine:
                                  spills, self.model, self.step_size,
                                  self.batch_size, slice_chunks,
                                  chunks_per_dev, self.mesh,
-                                 self.compute_dtype, score, with_head)
+                                 self.compute_dtype, score, with_head,
+                                 self.fused)
             if with_head:
                 *ys, head_stack, spills = res
                 heads = head_stack[:, 0]  # chunk 0 of slice 0 per device

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepgrp_tpu.models.model import DeepGRPModel
+from deepgrp_tpu.models.model import DeepGRPModel, forward_probs_from_codes
 from deepgrp_tpu.ops.overlap_max import overlap_max_merge
 
 
@@ -63,7 +63,9 @@ def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
         for j in range(k)
     ]
     x = jnp.concatenate(slabs, axis=1)[:, :vecsize]
-    if x.ndim == 2:  # code rows -> one-hot, fused into the chunk pipeline
+    if x.ndim == 2:  # code rows
+        if compute_dtype is None:  # fused-kernel path consumes raw codes
+            return x
         return jax.nn.one_hot(x, 5, dtype=compute_dtype)
     return x.astype(compute_dtype)
 
@@ -71,7 +73,7 @@ def chunk_windows(seqblocks: jax.Array, chunk_idx, batch: int, vecsize: int,
 def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
                      spill0, model: DeepGRPModel, step: int, batch: int,
                      n_chunks: int, compute_dtype, score: bool = False,
-                     with_head: bool = False):
+                     with_head: bool = False, fused: bool = False):
     """Scan chunks ``chunk0 .. chunk0 + n_chunks`` (traceable core).
 
     ``spill0`` is the overlap carried into the first chunk's block head
@@ -95,13 +97,23 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
     span = (batch - 1) * step + vecsize
     block_rows = batch * step
     spill_rows = span - block_rows  # == vecsize - step, may be <= 0
-    if compute_dtype != jnp.float32:
+    fused = fused and seqblocks.ndim == 2 and model.config.rnn != "LSTM"
+    if not fused and compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
     def chunk_fn(spill, chunk_idx):
-        x = chunk_windows(seqblocks, chunk_idx, batch, vecsize, k,
-                          compute_dtype)
-        probs = model.apply(params, x).astype(jnp.float32)
+        if fused:
+            # Fused Pallas path: raw code windows; the fwd+revcomp GRU and
+            # branch average run in one kernel (models/pallas_rnn.py).
+            codes = chunk_windows(seqblocks, chunk_idx, batch, vecsize, k,
+                                  None)
+            probs = forward_probs_from_codes(
+                params, codes, model.config,
+                compute_dtype).astype(jnp.float32)
+        else:
+            x = chunk_windows(seqblocks, chunk_idx, batch, vecsize, k,
+                              compute_dtype)
+            probs = model.apply(params, x).astype(jnp.float32)
         w_idx = chunk_idx * batch + jnp.arange(batch)
         probs = jnp.where((w_idx < n_windows)[:, None, None], probs, 0.0)
         # When step > vecsize windows leave gaps; pad the merge to the full
@@ -148,23 +160,23 @@ SLICE_CHUNKS = 8
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
-                                   "compute_dtype", "score"))
+                                   "compute_dtype", "score", "fused"))
 def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
                 chunk0: jax.Array, spill: jax.Array, model: DeepGRPModel,
                 step: int, batch: int, n_chunks: int, compute_dtype,
-                score: bool = False):
+                score: bool = False, fused: bool = False):
     """One pipeline slice: scan ``n_chunks`` chunks from ``chunk0``,
     threading the spill carry between slices."""
     return scan_chunk_range(params, seqblocks, n_windows, chunk0, spill,
                             model, step, batch, n_chunks, compute_dtype,
-                            score=score)
+                            score=score, fused=fused)
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
-                                   "compute_dtype", "score"))
+                                   "compute_dtype", "score", "fused"))
 def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
                   model: DeepGRPModel, step: int, batch: int, n_chunks: int,
-                  compute_dtype, score: bool = False):
+                  compute_dtype, score: bool = False, fused: bool = False):
     """Whole-sequence prediction as one scan over window chunks.
 
     Returns ``(blocks [n_chunks*batch*step, C], spill [max(V-step,0), C])``,
@@ -176,7 +188,7 @@ def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
         classes, maxp, final_spill = scan_chunk_range(
             params, seqblocks, n_windows, jnp.int32(0),
             make_spill0(model, step), model, step, batch, n_chunks,
-            compute_dtype, score=True)
+            compute_dtype, score=True, fused=fused)
         # Append the spill rows' scores (no further chunk can touch them).
         if final_spill.shape[0]:
             classes = jnp.concatenate(
@@ -185,14 +197,40 @@ def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
         return classes, maxp
     return scan_chunk_range(
         params, seqblocks, n_windows, jnp.int32(0), make_spill0(model, step),
-        model, step, batch, n_chunks, compute_dtype)
+        model, step, batch, n_chunks, compute_dtype, fused=fused)
+
+
+def resolve_rnn_kernel(mode: str, model: DeepGRPModel,
+                       compute_dtype) -> bool:
+    """Whether to run the fused Pallas recurrence (models/pallas_rnn.py).
+
+    ``"scan"``/``"fused"`` force; ``"auto"`` picks fused on TPU for GRU in
+    bfloat16 mode (measured winner, benchmarks/rnn_kernel_bench.json) and
+    keeps the scan for float32, whose bitwise BED parity with the
+    reference is pinned by tests/test_reference_parity.py.
+    """
+    if mode == "scan":
+        return False
+    if model.config.rnn == "LSTM":
+        if mode == "fused":
+            raise ValueError("fused RNN kernel supports GRU only")
+        return False
+    if mode == "fused":
+        return True
+    if mode != "auto":
+        raise ValueError(f"rnn_kernel must be auto|scan|fused, got {mode!r}")
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            and compute_dtype != jnp.float32)
 
 
 class PredictionEngine:
     """Reusable jit-compiled windowed predictor for one model config."""
 
     def __init__(self, model: DeepGRPModel, batch_size: int = 256,
-                 step_size: int = 50, compute_dtype=jnp.float32):
+                 step_size: int = 50, compute_dtype=jnp.float32,
+                 rnn_kernel: str = "auto"):
         self.model = model
         self.step_size = int(step_size)
         # A chunk's spill must fit inside the next chunk's block:
@@ -201,6 +239,7 @@ class PredictionEngine:
         k = -(-model.config.vecsize // self.step_size)
         self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
+        self.fused = resolve_rnn_kernel(rnn_kernel, model, compute_dtype)
 
     def _prepare_blocks(self, onehot: np.ndarray,
                         n_chunks: int) -> jax.Array:
@@ -276,7 +315,7 @@ class PredictionEngine:
                                      jnp.int32(chunk0), spill, self.model,
                                      self.step_size, self.batch_size,
                                      slice_chunks, self.compute_dtype,
-                                     score)
+                                     score, self.fused)
             outs.append(ys)
         return outs, spill, slice_chunks * self.batch_size * self.step_size
 
@@ -305,7 +344,7 @@ class PredictionEngine:
         blocks, spill = _scan_predict(params, seqblocks,
                                       jnp.int32(n_windows), self.model,
                                       step, self.batch_size, n_chunks,
-                                      self.compute_dtype)
+                                      self.compute_dtype, fused=self.fused)
         return blocks, spill, n_windows
 
     def predict_scored_device(self, params, onehot: np.ndarray):
@@ -327,7 +366,8 @@ class PredictionEngine:
         classes, maxp = _scan_predict(params, seqblocks,
                                       jnp.int32(n_windows), self.model,
                                       step, self.batch_size, n_chunks,
-                                      self.compute_dtype, score=True)
+                                      self.compute_dtype, score=True,
+                                      fused=self.fused)
         return classes, maxp, min(out_len, classes.shape[0])
 
     def predict_scored(self, params,

@@ -237,3 +237,48 @@ def test_codes_input_matches_one_hot(small_model, random_dna, use_mss,
                          device_mss=device_mss)
     np.testing.assert_array_equal(np.asarray(a, np.int64),
                                   np.asarray(b, np.int64))
+
+
+def test_fused_rnn_engine_matches_scan_engine():
+    # The fused Pallas GRU path (codes -> in-kernel fwd+revcomp+avg) must
+    # reproduce the scan engine's outputs (interpreter mode on CPU).
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.models import create_model
+    from deepgrp_tpu.predict.engine import PredictionEngine
+
+    options = Options(vecsize=30, units=8, attention=True,
+                      repeats_to_search=[1, 2])
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(0))
+    codes = np.random.default_rng(0).integers(0, 5, size=2000).astype(
+        np.int8)
+    scan_eng = PredictionEngine(model, batch_size=16, step_size=10,
+                                rnn_kernel="scan")
+    fused_eng = PredictionEngine(model, batch_size=16, step_size=10,
+                                 rnn_kernel="fused")
+    np.testing.assert_allclose(fused_eng.predict(params, codes),
+                               scan_eng.predict(params, codes), atol=1e-6)
+    c_f, m_f = fused_eng.predict_scored(params, codes)
+    c_s, m_s = scan_eng.predict_scored(params, codes)
+    np.testing.assert_array_equal(c_f, c_s)
+    np.testing.assert_allclose(m_f, m_s, atol=1e-6)
+
+
+def test_rnn_kernel_resolution():
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.models import create_model
+    from deepgrp_tpu.predict.engine import resolve_rnn_kernel
+
+    import jax.numpy as jnp
+
+    gru = create_model(Options(vecsize=30, units=8))
+    lstm = create_model(Options(vecsize=30, units=8, rnn="LSTM"))
+    assert resolve_rnn_kernel("scan", gru, jnp.float32) is False
+    assert resolve_rnn_kernel("fused", gru, jnp.float32) is True
+    assert resolve_rnn_kernel("auto", lstm, jnp.bfloat16) is False
+    with pytest.raises(ValueError, match="GRU only"):
+        resolve_rnn_kernel("fused", lstm, jnp.float32)
+    with pytest.raises(ValueError, match="auto"):
+        resolve_rnn_kernel("nope", gru, jnp.float32)
+    # auto never picks fused off-TPU (this test runs on CPU)
+    assert resolve_rnn_kernel("auto", gru, jnp.bfloat16) is False
