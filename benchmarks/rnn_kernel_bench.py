@@ -143,8 +143,10 @@ def main() -> None:
 
             scan_ms = bench(jax.jit(scan_composed), p, codes)
             best = None
+            # block_b=1024 (a [2048, .] combined batch) crashes the Mosaic
+            # compiler subprocess outright — excluded from the sweep.
             for time_block in (8, 16):
-                for block_b in (512, 1024):
+                for block_b in (256, 512):
                     fn = jax.jit(lambda p, c, tb=time_block, bb=block_b,
                                  dt=dtype: pallas_rnn.pallas_gru_avg(
                                      p, c, block_b=bb, time_block=tb,

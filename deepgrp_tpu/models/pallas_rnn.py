@@ -176,7 +176,7 @@ _CODE_COLS = 128  # codes block lane width (the minimal lane tile)
 
 
 def _gru_avg_kernel(codes_ref, w_ref, bin_ref, u_ref, brec_ref,
-                    avg_ref, hidden_ref, h_ref, *, units: int,
+                    avg_ref, hidden_ref, h_ref, acc_ref, *, units: int,
                     time_block: int, channels: int, last_tile: int,
                     last_sub: int, precision):
     t = pl.program_id(1)
@@ -212,12 +212,17 @@ def _gru_avg_kernel(codes_ref, w_ref, bin_ref, u_ref, brec_ref,
         hh = jnp.tanh(xp[:, 2 * units:] + r * rp[:, 2 * units:])
         h = z * h + (1.0 - z) * hh
         avg = (h[:block_b] + h[block_b:]) * 0.5
-        avg_ref[:, s, :] = avg.astype(avg_ref.dtype)
+        # Per-substep stores go to an f32 scratch: Mosaic rejects the
+        # [bb, u] -> [bb, 1, u] shape cast for bf16 stores (the round-2
+        # BENCH failure), and a single whole-block cast-store below is
+        # both legal and cheaper than time_block narrow stores.
+        acc_ref[:, s, :] = avg
         if s == last_sub:
             @pl.when(t == last_tile)
             def _(avg_last=avg):
                 hidden_ref[:] = avg_last.astype(hidden_ref.dtype)
     h_ref[:] = h
+    avg_ref[:] = acc_ref[:].astype(avg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "time_block",
@@ -289,7 +294,10 @@ def _pallas_gru_avg(codes_fwd: jax.Array, codes_rev: jax.Array,
             jax.ShapeDtypeStruct((padded_b, padded_t, units), out_dtype),
             jax.ShapeDtypeStruct((padded_b, units), out_dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((2 * block_b, units), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * block_b, units), jnp.float32),
+            pltpu.VMEM((block_b, time_block, units), jnp.float32),
+        ],
         interpret=interpret,
     )(codes_paired.astype(jnp.int32), kernel.astype(jnp.float32),
       bias[:1].reshape(1, 3 * units).astype(jnp.float32),
@@ -298,8 +306,13 @@ def _pallas_gru_avg(codes_fwd: jax.Array, codes_rev: jax.Array,
     return avg[:batch, :t_steps], hidden[:batch]
 
 
-def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 1024,
-                   time_block: int = _TIME_BLOCK, out_dtype=jnp.float32,
+# block_b=512 is both the measured winner (benchmarks/rnn_kernel_bench.json)
+# and the largest block Mosaic compiles: 1024 (a [2048, .] combined batch)
+# crashes the TPU compiler outright.  The best time_block is dtype-
+# dependent (same sweep): 8 for float32 (2.23 ms at the flagship shape;
+# tb=16 f32 fails to compile), 16 for bfloat16 (1.35 vs 5.90 ms at tb=8).
+def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 512,
+                   time_block: Optional[int] = None, out_dtype=jnp.float32,
                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Fused fwd+revcomp GRU with branch averaging (inference).
 
@@ -313,6 +326,12 @@ def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 1024,
         average of their final states, exactly the two tensors the
         DeepGRP head consumes (models/model.py forward_logits).
     """
+    if time_block is None:
+        time_block = 16 if out_dtype == jnp.bfloat16 else _TIME_BLOCK
+    if _CODE_COLS % time_block:
+        raise ValueError(
+            f"time_block must divide {_CODE_COLS} (codes lane tile); "
+            f"got {time_block}")
     comp = jnp.asarray(_COMPLEMENT_CODES, dtype=codes.dtype)
     codes_rev = comp[codes[:, ::-1]]
     block_b = min(block_b, max(codes.shape[0], 8))
