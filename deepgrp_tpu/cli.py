@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     train.add_argument("--honor-toml", action="store_true",
                        help="Let TOML values win over CLI defaults (the "
                        "reference overwrites TOML with defaults)")
+    train.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                       help="Data-parallel training across all visible "
+                       "devices (auto: when more than one device and the "
+                       "batch size divides evenly)")
 
     predict = subparsers.add_parser(
         name="predict",
@@ -129,15 +133,17 @@ def set_logging(verbose: int) -> None:
 
 
 def setup_runtime(threads: int) -> None:
-    """Bound host-side thread pools (TPU compute is unaffected).
+    """Bound host-side compute threads (TPU compute is unaffected).
 
-    ``--threads N>0`` caps the MSS workers and OMP pools at N (reference
+    ``--threads N>0`` caps the native MSS worker pool at N (reference
     semantics: the flag sized TF's host pools); ``--threads 0`` = all.
+    XLA's own host thread pool is deliberately NOT capped: on a
+    multi-device CPU mesh (tests, simulations) a pool smaller than the
+    device count deadlocks cross-replica collectives mid-AllReduce.
     """
     from deepgrp_tpu.ops.mss import set_default_threads
 
     if threads > 0:
-        os.environ.setdefault("OMP_NUM_THREADS", str(threads))
         set_default_threads(threads)
 
 
@@ -274,11 +280,27 @@ def cmd_train(args: argparse.Namespace, options) -> None:
     train_data = dgpreprocess.Data(train_fwd, y_train)
     val_data = dgpreprocess.Data(val_fwd, y_val)
 
+    mesh = None
+    if getattr(args, "mesh", "off") == "auto":
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            if parameter.batch_size % n_dev:
+                _LOG.warning(
+                    "batch_size %d not divisible by %d devices; training "
+                    "single-device", parameter.batch_size, n_dev)
+            else:
+                from deepgrp_tpu.parallel import make_mesh
+
+                mesh = make_mesh()
+                _LOG.info("data-parallel training over %d devices", n_dev)
+
     _LOG.info("Creating model for training")
     model = create_model(parameter)
     _LOG.info("Training Model")
     best_params, _ = training((train_data, val_data), parameter, model,
-                              args.logdir)
+                              args.logdir, mesh=mesh)
 
     _LOG.info("Saving model as %s", args.modelfile)
     save_model_npz(args.modelfile, model.config, best_params)

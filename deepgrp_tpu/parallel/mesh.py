@@ -30,9 +30,10 @@ def initialize_distributed(**kwargs) -> None:
 
     Thin wrapper over ``jax.distributed.initialize`` so callers need not
     import jax.distributed; coordinator address etc. come from the standard
-    environment variables on TPU pods.
+    environment variables on TPU pods.  Real init failures (bad coordinator
+    address, port clash, timeout) PROPAGATE — only the already-initialized
+    case is tolerated, so a job cannot silently degrade to single-host.
     """
-    try:
-        jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kwargs)

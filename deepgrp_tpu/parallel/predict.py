@@ -78,6 +78,57 @@ def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
     return shard(params, local_blocks, spills)
 
 
+def _fetch(x) -> np.ndarray:
+    """Device->host fetch that works across processes.
+
+    Single-process: plain ``np.asarray``.  Multi-process (multi-host pods
+    or the two-process CPU simulation, examples/multihost_sim.py): a
+    globally-sharded array is not fully addressable from one process, so
+    the remote shards are all-gathered first — every process then holds
+    the full value, mirroring the single-host contract.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+@partial(jax.jit, static_argnames=("mesh", "score"))
+def _boundary_merge(tails, heads, mesh: Mesh, score: bool):
+    """On-mesh spill hand-off: each device ``ppermute``s its final merge
+    spill to its RIGHT neighbor over ICI and max-combines the received
+    spill into its own region-head rows — the cross-shard form of the
+    reference's overlap-max operator (``maxcalc.c:10-24``) at shard
+    boundaries.  Devices without a left neighbor (device 0) receive zeros,
+    so their heads pass through unchanged.
+
+    Args:
+        tails: ``[n_dev, overlap, C]`` sharded — each device's final spill.
+        heads: ``[n_dev, overlap, C]`` sharded — each device's raw merged
+            region-head rows (the only rows not final at a boundary).
+
+    Returns:
+        ``(combined [n_dev, overlap, C],)`` or, with ``score=True``,
+        ``(classes int8 [n_dev, overlap], maxp f32 [n_dev, overlap])`` —
+        complete on-device; the host only places rows.
+    """
+    perm = [(d, d + 1) for d in range(mesh.shape[DATA_AXIS] - 1)]
+
+    def fn(tail, head):
+        recv = jax.lax.ppermute(tail, DATA_AXIS, perm)
+        combined = jnp.maximum(head[0], recv[0])
+        if score:
+            return (combined.argmax(-1).astype(jnp.int8)[None],
+                    combined.max(-1)[None])
+        return (combined[None],)
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                         out_specs=(P(DATA_AXIS),) * (2 if score else 1),
+                         check_vma=False)(tails, heads)
+
+
 @partial(jax.jit, static_argnames=("mesh", "n_blocks", "step"))
 def _expand_code_shards(codes, mesh: Mesh, n_blocks: int, step: int):
     """Reshape per-device code rows ``[n_dev, rows]`` to block-rows
@@ -99,7 +150,8 @@ class ShardedPredictionEngine:
 
     def __init__(self, model: DeepGRPModel, mesh: Mesh,
                  batch_size: int = 256, step_size: int = 50,
-                 compute_dtype=jnp.float32, rnn_kernel: str = "auto"):
+                 compute_dtype=jnp.float32, rnn_kernel: str = "auto",
+                 collective: bool = True):
         from deepgrp_tpu.predict.engine import resolve_rnn_kernel
 
         self.model = model
@@ -112,6 +164,9 @@ class ShardedPredictionEngine:
         self._k = k
         self._overlap = max(model.config.vecsize - self.step_size, 0)
         self.fused = resolve_rnn_kernel(rnn_kernel, model, compute_dtype)
+        # On-mesh ppermute spill hand-off (default); False falls back to
+        # host-side stitching of the fetched tails (bit-identical).
+        self.collective = collective
 
     # -- planning ----------------------------------------------------------
 
@@ -205,6 +260,11 @@ class ShardedPredictionEngine:
                 heads = head_stack[:, 0]  # chunk 0 of slice 0 per device
             else:
                 *ys, spills = res
+            if (not score and i == 0 and self._overlap > 0
+                    and self.collective):
+                # Unscored path: region-head rows come straight off the
+                # slice-0 blocks (still on device, for _boundary_merge).
+                heads = ys[0][:, :self._overlap]
             outs.append(ys)
         rows_per_slice = slice_chunks * self.batch_size * self.step_size
         return outs, heads, spills, rows_per_slice
@@ -225,23 +285,44 @@ class ShardedPredictionEngine:
             seq_repr.shape[-1])
         if n_windows == 0:
             return np.zeros((out_len, n_classes), dtype=np.float32)
-        slices, _, tails, rows_per_slice = self._run_sliced(
+        slices, heads, tails, rows_per_slice = self._run_sliced(
             params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
             score=False)
         region_rows = chunks_per_dev * self.batch_size * self.step_size
+        corrected = None
+        if self.collective and self._overlap > 0 and heads is not None:
+            # On-mesh boundary fix-up: the spill hand-off rides ICI
+            # (ppermute) and the corrected head rows arrive complete.
+            (combined,) = _boundary_merge(tails, heads, self.mesh,
+                                          score=False)
+            corrected = _fetch(combined)
         out = np.zeros((out_len, n_classes), dtype=np.float32)
         for i in range(len(slices)):
             (blocks,) = slices[i]
             slices[i] = None  # free device buffers as we go
-            blocks = np.asarray(blocks)  # [n_dev, rows_per_slice, C]
+            blocks = _fetch(blocks)  # [n_dev, rows_per_slice, C]
             for d in range(self.n_devices):
                 lo = d * region_rows + i * rows_per_slice
                 take = min(out_len - lo, rows_per_slice)
                 if take > 0:
                     out[lo:lo + take] = blocks[d, :take]
-        # Boundary fix-up: device d's spill lands in region d+1's head (for
+        if corrected is not None:
+            for d in range(1, self.n_devices):
+                lo = d * region_rows
+                hi = min(lo + self._overlap, out_len)
+                if hi > lo:
+                    out[lo:hi] = corrected[d, :hi - lo]
+            # The last device's spill has no right neighbor: it is the
+            # global tail past the final region.
+            tail_last = _fetch(tails)[-1]
+            lo = self.n_devices * region_rows
+            hi = min(lo + self._overlap, out_len)
+            if hi > lo:
+                np.maximum(out[lo:hi], tail_last[:hi - lo], out=out[lo:hi])
+            return out
+        # Host fallback: device d's spill lands in region d+1's head (for
         # the last device: past the end of its region — the global tail).
-        tails = np.asarray(tails)
+        tails = _fetch(tails)
         for d in range(self.n_devices):
             lo = (d + 1) * region_rows
             hi = min(lo + self._overlap, out_len)
@@ -267,21 +348,44 @@ class ShardedPredictionEngine:
             params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
             score=True)
         region_rows = chunks_per_dev * self.batch_size * self.step_size
+        boundary = None
+        if self.collective and self._overlap > 0 and heads is not None:
+            # On-mesh boundary fix-up: spill hand-off via ppermute, head
+            # rows re-scored on-device (argmax/max of the combined rows).
+            cls_b, maxp_b = _boundary_merge(tails, heads, self.mesh,
+                                            score=True)
+            boundary = (_fetch(cls_b), _fetch(maxp_b))
         for i in range(len(slices)):
             classes_s, maxp_s = slices[i]
             slices[i] = None
-            classes_s = np.asarray(classes_s)
-            maxp_s = np.asarray(maxp_s)
+            classes_s = _fetch(classes_s)
+            maxp_s = _fetch(maxp_s)
             for d in range(self.n_devices):
                 lo = d * region_rows + i * rows_per_slice
                 take = min(out_len - lo, rows_per_slice)
                 if take > 0:
                     out_classes[lo:lo + take] = classes_s[d, :take]
                     out_maxp[lo:lo + take] = maxp_s[d, :take]
-        # Boundary fix-up: re-score region heads after combining the left
+        if boundary is not None:
+            cls_b, maxp_b = boundary
+            for d in range(1, self.n_devices):
+                lo = d * region_rows
+                hi = min(lo + self._overlap, out_len)
+                if hi > lo:
+                    out_classes[lo:hi] = cls_b[d, :hi - lo]
+                    out_maxp[lo:hi] = maxp_b[d, :hi - lo]
+            # Global tail: the last device's spill, scored on host.
+            tail_last = _fetch(tails)[-1]
+            lo = self.n_devices * region_rows
+            hi = min(lo + self._overlap, out_len)
+            if hi > lo:
+                out_classes[lo:hi] = tail_last[:hi - lo].argmax(axis=1)
+                out_maxp[lo:hi] = tail_last[:hi - lo].max(axis=1)
+            return out_classes, out_maxp
+        # Host fallback: re-score region heads after combining the left
         # neighbor's spill; the last device's spill scores the global tail.
-        tails = np.asarray(tails)
-        heads = None if heads is None else np.asarray(heads)
+        tails = _fetch(tails)
+        heads = None if heads is None else _fetch(heads)
         for d in range(self.n_devices):
             lo = (d + 1) * region_rows
             hi = min(lo + self._overlap, out_len)

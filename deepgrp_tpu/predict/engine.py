@@ -240,12 +240,19 @@ class PredictionEngine:
         self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
         self.fused = resolve_rnn_kernel(rnn_kernel, model, compute_dtype)
+        self._fused_explicit = rnn_kernel == "fused"
 
     def _prepare_blocks(self, onehot: np.ndarray,
                         n_chunks: int) -> jax.Array:
-        return prepare_blocks(onehot, self.step_size,
-                              self.model.config.vecsize, self.batch_size,
-                              n_chunks)
+        blocks = prepare_blocks(onehot, self.step_size,
+                                self.model.config.vecsize, self.batch_size,
+                                n_chunks)
+        if self._fused_explicit and blocks.ndim == 3:
+            raise ValueError(
+                "rnn_kernel='fused' requires the compact code sequence "
+                "representation (int8 [L]); got one-hot [5, L] input, "
+                "which the fused kernel cannot consume")
+        return blocks
 
     def predict(self, params, onehot: np.ndarray,
                 out_len: Optional[int] = None) -> np.ndarray:

@@ -116,16 +116,27 @@ def _eval_step(params, x, y, model: DeepGRPModel):
 
 
 class Trainer:
-    """Reusable training driver for one model/options pair."""
+    """Reusable training driver for one model/options pair.
+
+    ``mesh`` switches the optimization step to the data-parallel
+    ``shard_map`` step (parallel/train.py): each device samples its own
+    slice of the class-balanced batch and gradients are ``pmean``-reduced
+    over ICI before the replicated update.  Checkpointing, early stopping,
+    NaN containment and the metrics stream are identical in both modes —
+    this scales the reference's ``training()``
+    (/root/reference/deepgrp/training.py:15-73) across the mesh.
+    """
 
     def __init__(self, model: DeepGRPModel, options: Options,
-                 logdir: os.PathLike, tensorboard: bool = False):
+                 logdir: os.PathLike, tensorboard: bool = False,
+                 mesh=None):
         self.model = model
         self.options = options
         self.logdir = logdir
         self.optimizer = get_optimizer(options)
         self.checkpoints = CheckpointManager(logdir)
         self.writer = MetricsWriter(logdir, tensorboard=tensorboard)
+        self.mesh = mesh
 
     def fit(self, train_data: Data, val_data: Data, params=None,
             seed: int = 0,
@@ -162,6 +173,29 @@ class Trainer:
                           train_sampler.one_class_size,
                           train_sampler.batch_size, train_sampler.seq_len)
 
+        dp_step = None
+        if self.mesh is not None:
+            from deepgrp_tpu.parallel.mesh import DATA_AXIS
+            if self.mesh.shape[DATA_AXIS] > 1:
+                from deepgrp_tpu.parallel.train import make_dp_train_step
+                dp_step = make_dp_train_step(model, self.optimizer,
+                                             self.mesh, options,
+                                             train_sampler)
+                _LOG.info("data-parallel training over %d devices",
+                          self.mesh.shape[DATA_AXIS])
+
+        def run_step(params, opt_state, step_key):
+            if dp_step is not None:
+                return dp_step(params, opt_state, step_key,
+                               train_sampler._fwd, train_sampler._lbl,
+                               train_sampler._candidates,
+                               train_sampler._lengths)
+            return _train_step(params, opt_state, step_key,
+                               train_sampler._fwd, train_sampler._lbl,
+                               train_sampler._candidates,
+                               train_sampler._lengths, sampler_static,
+                               model, self.optimizer, options.vecsize)
+
         history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
         best_val = np.inf
         best_params = jax.device_get(params)
@@ -172,11 +206,8 @@ class Trainer:
             losses = []
             for _ in range(options.n_batches):
                 key, step_key = jax.random.split(key)
-                params, opt_state, loss = _train_step(
-                    params, opt_state, step_key, train_sampler._fwd,
-                    train_sampler._lbl, train_sampler._candidates,
-                    train_sampler._lengths, sampler_static, model,
-                    self.optimizer, options.vecsize)
+                params, opt_state, loss = run_step(params, opt_state,
+                                                   step_key)
                 losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(losses)))
 
@@ -219,12 +250,15 @@ def training(data: Tuple[Data, Data], options: Options,
              model: Optional[DeepGRPModel] = None,
              logdir: os.PathLike = ".",
              extra_callbacks: Optional[List[MetricCallback]] = None,
-             params=None, seed: int = 0):
+             params=None, seed: int = 0, mesh=None):
     """Functional API mirroring the reference ``training()``
-    (training.py:15-73).  Returns ``(best_params, history)``."""
+    (training.py:15-73).  Returns ``(best_params, history)``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training.
+    """
     if model is None:
         model = create_model(options)
-    trainer = Trainer(model, options, logdir)
+    trainer = Trainer(model, options, logdir, mesh=mesh)
     try:
         return trainer.fit(data[0], data[1], params=params, seed=seed,
                            callbacks=extra_callbacks)

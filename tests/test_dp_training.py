@@ -1,0 +1,103 @@
+"""Data-parallel training through the product surfaces.
+
+VERDICT r2 item 4: ``make_dp_train_step`` must be reachable from the
+``Trainer`` and the CLI, with checkpointing / early stopping / history
+semantics identical to single-device training (the reference semantics
+being scaled: ``/root/reference/deepgrp/training.py:15-73``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepgrp_tpu.config import Options
+from deepgrp_tpu.data.preprocess import Data
+from deepgrp_tpu.models.model import create_model
+from deepgrp_tpu.parallel import make_mesh
+from deepgrp_tpu.train.checkpoint import load_params
+from deepgrp_tpu.train.training import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    options = Options(vecsize=80, units=8, attention=True, batch_size=32,
+                      n_epochs=2, n_batches=3, early_stopping_th=5)
+    model = create_model(options)
+    rng = np.random.default_rng(0)
+    length = 12000
+    codes = rng.integers(0, 4, size=length)
+    fwd = np.zeros((5, length), np.int8)
+    fwd[codes, np.arange(length)] = 1
+    truelbl = np.zeros((5, length), np.int8)
+    for cls in range(1, 5):
+        for _ in range(8):
+            start = int(rng.integers(0, length - 500))
+            truelbl[cls, start:start + 400] = 1
+    truelbl[0] = truelbl[1:].sum(axis=0) == 0
+    return options, model, Data(fwd=fwd, truelbl=truelbl)
+
+
+def test_trainer_dp_matches_single_device_semantics(tiny_setup, tmp_path):
+    """DP training produces the same artifact contract as single-device:
+    same history structure, finite losses, a restorable checkpoint."""
+    options, model, data = tiny_setup
+
+    single = Trainer(model, options, tmp_path / "single")
+    best_s, hist_s = single.fit(data, data, seed=0)
+    single.writer.close()
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] > 1  # conftest forces the 8-device CPU mesh
+    dp = Trainer(model, options, tmp_path / "dp", mesh=mesh)
+    best_d, hist_d = dp.fit(data, data, seed=0)
+    dp.writer.close()
+
+    assert sorted(hist_d) == sorted(hist_s)
+    assert len(hist_d["loss"]) == len(hist_s["loss"]) == options.n_epochs
+    assert all(np.isfinite(hist_d["loss"]))
+    assert all(np.isfinite(hist_d["val_loss"]))
+
+    # Checkpoints restore to the returned best params.
+    latest = dp.checkpoints.latest_path()
+    assert latest is not None
+    restored = load_params(latest)
+    jax.tree.map(np.testing.assert_array_equal, restored, best_d)
+
+    # Both modes trained the same architecture.
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a).shape, np.asarray(b).shape), best_s, best_d)
+
+
+def test_cli_train_mesh_auto(tiny_setup, tmp_path):
+    """CLI ``train --mesh auto`` runs DP on the CPU mesh end to end."""
+    options, model, data = tiny_setup
+    from deepgrp_tpu import cli
+
+    np.savez_compressed(tmp_path / "chrT.fa.gz.npz", fwd=data.fwd,
+                        hash=b"x")
+    np.savez_compressed(tmp_path / "chrV.fa.gz.npz", fwd=data.fwd,
+                        hash=b"x")
+    rows = []
+    for cls in range(1, 5):
+        rows.append(f"chrT\t100\t3000\t{cls}\n")
+        rows.append(f"chrV\t100\t3000\t{cls}\n")
+    (tmp_path / "anno.bed").write_text("".join(rows))
+    (tmp_path / "params.toml").write_text(
+        "vecsize = 80\nunits = 8\nattention = true\nbatch_size = 32\n"
+        "n_epochs = 1\nn_batches = 2\n")
+    modelfile = tmp_path / "model.npz"
+    cli.main(["-b", "32", "train", str(tmp_path / "params.toml"),
+              str(tmp_path / "chrT.fa.gz.npz"),
+              str(tmp_path / "chrV.fa.gz.npz"),
+              str(tmp_path / "anno.bed"),
+              "--logdir", str(tmp_path / "logs"),
+              "--modelfile", str(modelfile),
+              "--mesh", "auto", "--honor-toml"])
+    assert os.path.exists(modelfile)
+    from deepgrp_tpu.models.keras_io import load_model
+
+    config, params = load_model(str(modelfile))
+    assert config.vecsize == 80 and config.units == 8
