@@ -158,8 +158,8 @@ sys.path.insert(0, "/root/reference")
 import tensorflow as tf
 import deepgrp.model as refmodel
 
-tf.config.threading.set_inter_op_parallelism_threads(2)
-tf.config.threading.set_intra_op_parallelism_threads(2)
+# Thread pools follow the reference envelope (OMP_NUM_THREADS=4, set in
+# the subprocess env) — no explicit override, so TF honors OMP settings.
 
 options = refmodel.Options(vecsize=342, units=60, attention=True,
                            dropout=0.0928)
