@@ -242,7 +242,7 @@ def cmd_train(args: argparse.Namespace, options) -> None:
     _apply_jax_flags(args)
     from deepgrp_tpu.config import Options
     from deepgrp_tpu.data import preprocess as dgpreprocess
-    from deepgrp_tpu.models.keras_io import save_model_npz
+    from deepgrp_tpu.models.keras_io import save_model_h5, save_model_npz
     from deepgrp_tpu.models.model import create_model
     from deepgrp_tpu.train.training import training
 
@@ -303,7 +303,12 @@ def cmd_train(args: argparse.Namespace, options) -> None:
                               args.logdir, mesh=mesh)
 
     _LOG.info("Saving model as %s", args.modelfile)
-    save_model_npz(args.modelfile, model.config, best_params)
+    if args.modelfile.endswith((".h5", ".hdf5")):
+        # Reference-consumable whole-model HDF5 (the reference CLI's
+        # default artifact, __main__.py:349-351).
+        save_model_h5(args.modelfile, model.config, best_params)
+    else:
+        save_model_npz(args.modelfile, model.config, best_params)
     _stop_profile(args)
 
 

@@ -68,12 +68,15 @@ def _update_options(options: Options, dictionary: Dict[str, Any]) -> Options:
 
 
 def evaluate_trained(options: Options, step_size: int, logdir: PathLike,
-                     val_data: Data, params) -> Dict[str, Any]:
+                     val_data: Data, params,
+                     compute_dtype=None) -> Dict[str, Any]:
     """MSS-post-processed validation metrics for trained parameters
     (the evaluation half of the reference objective,
-    optimization.py:58-68)."""
+    optimization.py:58-68).  ``compute_dtype`` lets sweeps evaluate on
+    the engine's bfloat16 fast path."""
     predictions = predict_complete(step_size, options, logdir, val_data,
-                                   use_mss=True, params=params)
+                                   use_mss=True, params=params,
+                                   compute_dtype=compute_dtype)
     is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
     predictions_class = predictions[is_not_na].argmax(axis=1)
     filter_segments(predictions_class, options.min_mss_len)

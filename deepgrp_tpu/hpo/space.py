@@ -26,6 +26,15 @@ class Dimension:
     kind: str                       # uniform|quniform|normal|qnormal|lognormal|choice
     params: tuple = ()
     options: tuple = ()             # for choice
+    low: Any = None                 # optional clamp (qnormal/normal): a
+    high: Any = None                # <=0 draw would crash the trial
+
+    def _clamp(self, value: float) -> float:
+        if self.low is not None:
+            value = max(value, self.low)
+        if self.high is not None:
+            value = min(value, self.high)
+        return value
 
     def sample(self, rng: np.random.Generator) -> Any:
         if self.kind == "uniform":
@@ -36,10 +45,11 @@ class Dimension:
             return float(np.round(rng.uniform(low, high) / q) * q)
         if self.kind == "normal":
             mu, sigma = self.params
-            return float(rng.normal(mu, sigma))
+            return self._clamp(float(rng.normal(mu, sigma)))
         if self.kind == "qnormal":
             mu, sigma, q = self.params
-            return float(np.round(rng.normal(mu, sigma) / q) * q)
+            return self._clamp(float(np.round(rng.normal(mu, sigma) / q)
+                                     * q))
         if self.kind == "lognormal":
             mu, sigma = self.params
             return float(np.exp(rng.normal(mu, sigma)))
@@ -69,6 +79,8 @@ class Dimension:
         if self.kind in ("uniform", "quniform"):
             low, high = self.params[0], self.params[1]
             value = float(np.clip(value, low, high))
+        if self.kind in ("normal", "qnormal"):
+            value = self._clamp(value)
         return value
 
 
@@ -84,8 +96,9 @@ def normal(name: str, mu: float, sigma: float) -> Dimension:
     return Dimension(name, "normal", (mu, sigma))
 
 
-def qnormal(name: str, mu: float, sigma: float, q: float) -> Dimension:
-    return Dimension(name, "qnormal", (mu, sigma, q))
+def qnormal(name: str, mu: float, sigma: float, q: float,
+            low: Any = None, high: Any = None) -> Dimension:
+    return Dimension(name, "qnormal", (mu, sigma, q), low=low, high=high)
 
 
 def lognormal(name: str, mu: float, sigma: float) -> Dimension:
@@ -99,8 +112,11 @@ def choice(name: str, options: Sequence[Any]) -> Dimension:
 def reference_search_space() -> Dict[str, Dimension]:
     """The space used by the reference's DeepGRP.ipynb sweep."""
     return {
-        "vecsize": qnormal("vecsize", 200, 20, 2),
-        "units": qnormal("units", 34, 5, 2),
+        # The reference space is unclamped and a <=0 tail draw crashes
+        # the trial into STATUS_FAIL, burning TPE budget; clamping to the
+        # minimal valid architecture keeps the prior intact elsewhere.
+        "vecsize": qnormal("vecsize", 200, 20, 2, low=2),
+        "units": qnormal("units", 34, 5, 2, low=2),
         "dropout": uniform("dropout", 0, 0.4),
         "momentum": uniform("momentum", 0, 1),
         "rho": uniform("rho", 0, 1),

@@ -135,6 +135,93 @@ def _validate_shapes(config: ModelConfig, params: Params) -> None:
             f"produces {config.feature_dim}")
 
 
+def save_model_h5(path: str, config: ModelConfig, params: Params) -> None:
+    """Export to the reference's whole-model Keras HDF5 format.
+
+    The reference loads models with ``tf.keras.models.load_model(path,
+    custom_objects={"ReverseComplement": ...})`` and takes ``vecsize``
+    from the input shape (``/root/reference/deepgrp/__main__.py:264-270``),
+    so the export builds the exact reference architecture
+    (``model.py:293-336``: shared-weight fwd/revcomp RNN, optional
+    additive attention, Dense logits + Softmax) as a tf_keras graph with
+    the reference's layer names and writes this framework's parameters
+    into it.  Round-trip: ``load_keras_h5(save_model_h5(c, p)) == (c, p)``.
+
+    Requires ``tf_keras`` (or a TF2 ``tf.keras``); raises ImportError
+    otherwise — the native ``.npz`` format needs neither.
+    """
+    try:
+        import tf_keras as keras
+    except ImportError:  # pragma: no cover - environment dependent
+        from tensorflow import keras  # type: ignore[no-redef]
+
+    complements = [3, 2, 1, 0, 4]  # A<->T, C<->G, N<->N (model.py:233-237)
+
+    class ReverseComplement(keras.layers.Layer):
+        """Serialization-compatible twin of the reference custom layer
+        (same class name + ``complements`` config key, model.py:240-290),
+        so the reference's ``custom_objects`` load accepts the file."""
+
+        def __init__(self, complements, **kwargs):
+            super().__init__(**kwargs)
+            self._indices = complements
+
+        def call(self, inputs):
+            import tensorflow as tf
+
+            return tf.gather(tf.reverse(inputs, axis=[1]), self._indices,
+                             axis=2)
+
+        def get_config(self):
+            base = super().get_config()
+            return {**base, "complements": self._indices}
+
+    inputs = keras.layers.Input((config.vecsize, config.input_dim))
+    revcomp = ReverseComplement(complements)(inputs)
+    if config.rnn == "LSTM":
+        rnn = keras.layers.LSTM(units=config.units, dropout=config.dropout,
+                                name="BLSTM", return_sequences=True)
+    else:
+        rnn = keras.layers.GRU(units=config.units, dropout=config.dropout,
+                               name="BGRU", return_sequences=True,
+                               return_state=config.attention)
+    if config.use_attention:
+        fwd, hidden_fwd = rnn(inputs)
+        rev, hidden_rev = rnn(revcomp)
+        hidden = keras.layers.Average()([hidden_fwd, hidden_rev])
+        avg = keras.layers.Average()([fwd, rev])
+        hidden = keras.layers.Reshape((1, config.units))(hidden)
+        att = keras.layers.AdditiveAttention(
+            name="additive_attention")([hidden, avg])
+        att = keras.layers.Flatten()(att)
+        att = keras.layers.RepeatVector(config.vecsize)(att)
+        feats = keras.layers.Concatenate()([att, avg])
+    else:
+        fwd = rnn(inputs)
+        rev = rnn(revcomp)
+        feats = keras.layers.Average()([fwd, rev])
+    logits = keras.layers.Dense(config.n_classes, name="FF",
+                                activation=None)(feats)
+    output = keras.layers.Softmax(axis=2)(logits)
+    model = keras.Model(inputs=inputs, outputs=output)
+
+    def to_np(a):
+        return np.asarray(a, dtype=np.float32)
+
+    rnn_weights = [to_np(params["rnn"]["kernel"]),
+                   to_np(params["rnn"]["recurrent"])]
+    bias = to_np(params["rnn"]["bias"])
+    rnn_weights.append(bias)
+    model.get_layer("BLSTM" if config.rnn == "LSTM" else "BGRU"
+                    ).set_weights(rnn_weights)
+    model.get_layer("FF").set_weights([
+        to_np(params["dense"]["kernel"]), to_np(params["dense"]["bias"])])
+    if config.use_attention:
+        model.get_layer("additive_attention").set_weights(
+            [to_np(params["attention"]["scale"])])
+    model.save(path, save_format="h5")
+
+
 def load_model(path: str) -> Tuple[ModelConfig, Params]:
     """Load either a native .npz model or a reference Keras HDF5 model."""
     if path.endswith((".h5", ".hdf5")):

@@ -170,20 +170,30 @@ def setup_prediction_from_options_checkpoint(options: Options,
 
 def predict_complete(step_size: int, options: Options, logdir: PathLike,
                      data: Data, use_mss: bool = False,
-                     params: Optional[dict] = None) -> np.ndarray:
+                     params: Optional[dict] = None,
+                     compute_dtype=None,
+                     rnn_kernel: str = "auto") -> np.ndarray:
     """Restore a model and predict a full sequence
     (prediction.py:114-141 parity).
 
     Returns one-hot MSS labels when ``use_mss`` else softmaxed
-    probabilities, shaped ``[length, n_classes]``.
+    probabilities, shaped ``[length, n_classes]``.  ``compute_dtype``
+    (default float32) and ``rnn_kernel`` select the engine's fast paths —
+    HPO sweeps can evaluate in bfloat16 without touching the parity
+    default.
     """
+    import jax.numpy as jnp
+
     if params is None:
         model, params = setup_prediction_from_options_checkpoint(
             options, logdir)
     else:
         model = create_model(options)
     engine = PredictionEngine(model, batch_size=options.batch_size,
-                              step_size=step_size)
+                              step_size=step_size,
+                              compute_dtype=(jnp.float32 if compute_dtype
+                                             is None else compute_dtype),
+                              rnn_kernel=rnn_kernel)
     output_shape = data.truelbl.shape[::-1]
     predictions = engine.predict(params, np.asarray(data.fwd),
                                  out_len=output_shape[0])

@@ -48,7 +48,13 @@ def categorical_crossentropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 class MetricsWriter:
-    """JSONL metrics log with optional TensorBoard event mirroring."""
+    """JSONL metrics log with TensorBoard event mirroring.
+
+    TB events are written unconditionally when requested (reference
+    parity: the TensorBoard callback always runs, training.py:40-45) —
+    via torch's ``SummaryWriter`` when importable, else the dependency-
+    free writer in utils/tb_events.py.
+    """
 
     def __init__(self, logdir: os.PathLike, tensorboard: bool = False):
         self.logdir = os.fspath(logdir)
@@ -59,8 +65,11 @@ class MetricsWriter:
             try:  # torch's TB writer; optional and slow to import
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(log_dir=self.logdir)
-            except Exception:  # pragma: no cover - environment dependent
-                _LOG.info("TensorBoard writer unavailable; JSONL only")
+            except Exception:
+                from deepgrp_tpu.utils.tb_events import EventFileWriter
+
+                self._tb = EventFileWriter(self.logdir)
+                _LOG.info("torch unavailable; using built-in TB writer")
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         record = {"step": step, "time": time.time(), **metrics}
