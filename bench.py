@@ -275,13 +275,26 @@ def get_baseline() -> dict:
     return data
 
 
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main() -> None:
     codes = make_sequence(SEQ_LEN)
+    _phase("baseline")
     baseline = get_baseline()
     base_wps = float(baseline["windows_per_sec_cpu_reference"])
+    _phase("tpu float32")
     throughput = measure_tpu(codes)
+    _phase(f"tpu float32 done: {throughput:.0f} w/s; tpu bfloat16")
     throughput_bf16 = measure_tpu(codes, precision="bfloat16")
+    _phase(f"tpu bfloat16 done: {throughput_bf16:.0f} w/s; train")
     train_sps = measure_train(codes)
+    _phase(f"train done: {train_sps:.1f} steps/s")
     base_train = baseline.get("train_steps_per_sec_cpu_reference")
     extra = {
         "windows_per_sec_bfloat16": round(throughput_bf16, 1),

@@ -70,10 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Persistent XLA compilation cache directory")
     parser.add_argument("--rnn-kernel", choices=["auto", "scan", "fused"],
                         default="auto",
-                        help="Recurrence implementation: 'scan' (XLA; "
-                        "float32 default, bitwise reference parity), "
-                        "'fused' (Pallas fwd+revcomp GRU kernel), 'auto' "
-                        "(fused on TPU for GRU in bfloat16)")
+                        help="Recurrence implementation: 'scan' (XLA), "
+                        "'fused' (Pallas fwd+revcomp GRU kernel; bitwise "
+                        "reference parity in float32), 'auto' (fused for "
+                        "GRU on TPU, scan elsewhere)")
 
     subparsers = parser.add_subparsers(help="sub-command help",
                                        dest="command")

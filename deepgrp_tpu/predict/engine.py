@@ -205,9 +205,13 @@ def resolve_rnn_kernel(mode: str, model: DeepGRPModel,
     """Whether to run the fused Pallas recurrence (models/pallas_rnn.py).
 
     ``"scan"``/``"fused"`` force; ``"auto"`` picks fused on TPU for GRU in
-    bfloat16 mode (measured winner, benchmarks/rnn_kernel_bench.json) and
-    keeps the scan for float32, whose bitwise BED parity with the
-    reference is pinned by tests/test_reference_parity.py.
+    BOTH dtypes — the measured winner at the flagship shape
+    (benchmarks/rnn_kernel_bench.json: f32 2.79x, bf16 1.89x vs the XLA
+    scan) — and the float32 fused path is bitwise BED-identical to the
+    reference on real-TPU Mosaic compilation
+    (tests/test_reference_parity.py::test_bed_bitwise_parity_fused, run
+    with DEEPGRP_TEST_PLATFORM=tpu).  Non-TPU backends keep the scan (the
+    kernel would run through the slow Pallas interpreter).
     """
     if mode == "scan":
         return False
@@ -221,8 +225,7 @@ def resolve_rnn_kernel(mode: str, model: DeepGRPModel,
         raise ValueError(f"rnn_kernel must be auto|scan|fused, got {mode!r}")
     import jax as _jax
 
-    return (_jax.default_backend() == "tpu"
-            and compute_dtype != jnp.float32)
+    return _jax.default_backend() == "tpu"
 
 
 class PredictionEngine:

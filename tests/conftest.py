@@ -10,9 +10,13 @@ import os
 import random
 import string
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DEEPGRP_TEST_PLATFORM=tpu runs the suite on the real chip (used to
+# validate kernel/parity tests on hardware); default is the virtual CPU mesh.
+_platform = os.environ.get("DEEPGRP_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if (_platform == "cpu"
+        and "xla_force_host_platform_device_count" not in _flags):
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -20,7 +24,8 @@ import jax  # noqa: E402
 
 # Something in this environment (the axon TPU plugin) wins over the env var,
 # so force the platform through the config API as well.
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

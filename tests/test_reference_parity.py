@@ -105,3 +105,30 @@ def test_bed_bitwise_parity(name, mesh, tmp_path):
            out.read_text().splitlines()]
     want = open(os.path.join(FIXDIR, f"{name}.bed")).read().splitlines()
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["gru_att", "gru"])
+def test_bed_bitwise_parity_fused(name, tmp_path):
+    """The fused Pallas GRU path reproduces the reference BED exactly.
+
+    This is the evidence behind ``resolve_rnn_kernel``'s "auto" policy
+    enabling the fused kernel for float32 GRU inference on TPU: the
+    kernel's input projection is an exact row select and its recurrent
+    dot runs at HIGHEST precision, so the BED output matches the
+    reference bitwise.  On CPU the kernel runs through the Pallas
+    interpreter; run with DEEPGRP_TEST_PLATFORM=tpu to validate the real
+    Mosaic compilation on hardware.
+    """
+    man = manifest()
+    out = tmp_path / f"{name}.bed"
+    cli.main([
+        "-b", str(man["batch_size"]), "-s", str(man["step_size"]),
+        "-x", str(man["xdrop_len"]), "-l", str(man["min_mss_len"]),
+        "--rnn-kernel", "fused",
+        "predict", os.path.join(FIXDIR, f"{name}.h5"),
+        os.path.join(FIXDIR, f"{name}.fa"), "--output", str(out),
+    ])
+    got = [line.split("\t", 1)[1] for line in
+           out.read_text().splitlines()]
+    want = open(os.path.join(FIXDIR, f"{name}.bed")).read().splitlines()
+    assert got == want
