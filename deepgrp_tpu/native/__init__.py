@@ -87,6 +87,12 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.dg_find_mss_classes_mt.restype = None
+    lib.dg_find_mss_classes_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.dg_trim_n.restype = None
     lib.dg_trim_n.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,

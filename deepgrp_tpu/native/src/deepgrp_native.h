@@ -64,6 +64,14 @@ void dg_find_mss_labels_mt(const double *scores, const int64_t *labels,
                            int32_t xdrop_len, int32_t n_threads,
                            double *one_hot_out);
 
+/* As dg_find_mss_labels_mt but writes the class id per position (the
+ * argmax of the one-hot row) into `classes_out` [n], skipping the one-hot
+ * intermediate.  `classes_out` need not be initialized. */
+void dg_find_mss_classes_mt(const double *scores, const int64_t *labels,
+                            int64_t n, int32_t n_labels, int32_t min_mss_len,
+                            int32_t xdrop_len, int32_t n_threads,
+                            int32_t *classes_out);
+
 /* Number of leading (from `*start`) and trailing (before `*end`) 'N' bytes
  * trimmed: on return [*start, *end) is the kept range of seq[0..n). */
 void dg_trim_n(const char *seq, int64_t n, int64_t *start, int64_t *end);

@@ -114,11 +114,17 @@ extern "C" int64_t dg_mss_find_all_mt(const double *scores, int64_t n,
   return total;
 }
 
-extern "C" void dg_find_mss_labels_mt(const double *scores,
-                                      const int64_t *labels, int64_t n,
-                                      int32_t n_labels, int32_t min_mss_len,
-                                      int32_t xdrop_len, int32_t n_threads,
-                                      double *one_hot_out) {
+namespace {
+
+// Shared segment search + per-segment majority vote (pymss.pyx:46-67
+// semantics).  Calls `emit_segment(st, en, major)` for each reported
+// segment in order; gap/tail positions keep their raw label (handled by
+// the callers, whose output encodings differ).
+template <typename EmitSegment>
+void ForEachMssSegment(const double *scores, const int64_t *labels,
+                       int64_t n, int32_t n_labels, int32_t min_mss_len,
+                       int32_t xdrop_len, int32_t n_threads,
+                       EmitSegment emit_segment) {
   // Same score-space constants as dg_find_mss_labels (pymss.pyx:46-53).
   const double s0 = std::log(0.99 / (1.0 - 0.99));
   const double min_sc = s0 * min_mss_len;
@@ -132,7 +138,6 @@ extern "C" void dg_find_mss_labels_mt(const double *scores,
     n_seg = static_cast<int64_t>(segs.size());
 
   std::vector<int64_t> counts(static_cast<size_t>(n_labels));
-  int64_t cursor = 0;
   for (int64_t s = 0; s < n_seg; ++s) {
     const int64_t st = segs[s].start;
     const int64_t en = segs[s].end;
@@ -146,16 +151,52 @@ extern "C" void dg_find_mss_labels_mt(const double *scores,
         major_count = counts[c];
       }
     }
-    for (int64_t p = st; p < en; ++p) {
-      const int64_t lbl = (labels[p] == 0) ? major : labels[p];
-      one_hot_out[p * n_labels + lbl] = 1.0;
-    }
-    for (int64_t p = cursor; p < st; ++p) {
-      one_hot_out[p * n_labels + labels[p]] = 1.0;
-    }
-    cursor = en;
+    emit_segment(st, en, major);
   }
+}
+
+}  // namespace
+
+extern "C" void dg_find_mss_labels_mt(const double *scores,
+                                      const int64_t *labels, int64_t n,
+                                      int32_t n_labels, int32_t min_mss_len,
+                                      int32_t xdrop_len, int32_t n_threads,
+                                      double *one_hot_out) {
+  int64_t cursor = 0;
+  ForEachMssSegment(
+      scores, labels, n, n_labels, min_mss_len, xdrop_len, n_threads,
+      [&](int64_t st, int64_t en, int32_t major) {
+        for (int64_t p = st; p < en; ++p) {
+          const int64_t lbl = (labels[p] == 0) ? major : labels[p];
+          one_hot_out[p * n_labels + lbl] = 1.0;
+        }
+        for (int64_t p = cursor; p < st; ++p) {
+          one_hot_out[p * n_labels + labels[p]] = 1.0;
+        }
+        cursor = en;
+      });
   for (int64_t p = cursor; p < n; ++p) {
     one_hot_out[p * n_labels + labels[p]] = 1.0;
   }
+}
+
+extern "C" void dg_find_mss_classes_mt(const double *scores,
+                                       const int64_t *labels, int64_t n,
+                                       int32_t n_labels, int32_t min_mss_len,
+                                       int32_t xdrop_len, int32_t n_threads,
+                                       int32_t *classes_out) {
+  // Identical labeling to dg_find_mss_labels_mt but emits the class id
+  // per position directly — the argmax of the one-hot row — skipping the
+  // [n, n_labels] float64 intermediate (8*n_labels bytes/position) that
+  // callers wanting classes would immediately reduce away.
+  for (int64_t p = 0; p < n; ++p) {
+    classes_out[p] = static_cast<int32_t>(labels[p]);
+  }
+  ForEachMssSegment(
+      scores, labels, n, n_labels, min_mss_len, xdrop_len, n_threads,
+      [&](int64_t st, int64_t en, int32_t major) {
+        for (int64_t p = st; p < en; ++p) {
+          if (labels[p] == 0) classes_out[p] = major;
+        }
+      });
 }

@@ -73,6 +73,17 @@ void TestLabels() {
     for (int c = 0; c < 5; ++c) row += a[i * 5 + c];
     Check(row == 1.0, "labels one-hot row");
   }
+  // Direct class output == argmax of the one-hot rows.
+  std::vector<int32_t> cls(n, -1);
+  dg_find_mss_classes_mt(scores.data(), labels.data(), n, 5, 50, 50, 8,
+                         cls.data());
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t argmax = 0;
+    for (int c = 1; c < 5; ++c) {
+      if (a[i * 5 + c] > a[i * 5 + argmax]) argmax = c;
+    }
+    Check(cls[i] == argmax, "classes == one-hot argmax");
+  }
 }
 
 void TestEncode() {

@@ -119,6 +119,35 @@ def find_mss_labels(scores: np.ndarray, labels: np.ndarray, nof_labels: int,
     return out
 
 
+def find_mss_classes(scores: np.ndarray, labels: np.ndarray,
+                     nof_labels: int, min_mss_len: int, xdrop_len: int,
+                     threads: int = 0) -> np.ndarray:
+    """As :func:`find_mss_labels` but returns the class id per position
+    (``int32 [n]`` — exactly ``find_mss_labels(...).argmax(axis=1)``),
+    skipping the ``[n, nof_labels]`` float64 one-hot intermediate that a
+    whole-chromosome scan would allocate (8*n_labels bytes/position) and
+    immediately reduce away."""
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    labels = np.ascontiguousarray(labels, dtype=np.int64)
+    if scores.shape != labels.shape or scores.ndim != 1:
+        raise ValueError("scores and labels must be equal-length 1-D arrays")
+    lib = native.load()
+    if lib is not None:
+        if threads <= 0:
+            threads = default_threads(scores.size)
+        out = np.empty(scores.size, dtype=np.int32)
+        lib.dg_find_mss_classes_mt(
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            scores.size, nof_labels, min_mss_len, xdrop_len, threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    one_hot = np.zeros((scores.size, nof_labels), dtype=np.float64)
+    _find_mss_labels_py(scores, labels, nof_labels, min_mss_len, xdrop_len,
+                        one_hot)
+    return one_hot.argmax(axis=1).astype(np.int32)
+
+
 def _mss_find_all_py(scores: np.ndarray, min_score: float,
                      xdrop: float) -> List[Tuple[int, int, float]]:
     """Pure-python Ruzzo–Tompa with X-drop; specification fallback."""

@@ -156,7 +156,11 @@ def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
 # slice program covers every slice of a given padded-length bucket (the
 # traced seqblocks shape still varies across length buckets); fetching
 # slice i overlaps with the device computing slices i+1.. (async dispatch).
-SLICE_CHUNKS = 8
+# 16 is the measured winner on the tunneled v5e at the flagship shape
+# (min scored latency for a 2 Mbp scan: 454 ms vs 480 @ 8 / 524 @ 40 —
+# larger slices amortize per-dispatch round trips until pipelining is
+# lost when everything lands in one slice).
+SLICE_CHUNKS = 16
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
@@ -166,10 +170,53 @@ def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
                 step: int, batch: int, n_chunks: int, compute_dtype,
                 score: bool = False, fused: bool = False):
     """One pipeline slice: scan ``n_chunks`` chunks from ``chunk0``,
-    threading the spill carry between slices."""
-    return scan_chunk_range(params, seqblocks, n_windows, chunk0, spill,
-                            model, step, batch, n_chunks, compute_dtype,
-                            score=score, fused=fused)
+    threading the spill carry between slices.
+
+    The scored path returns its ``(maxp f32, classes int8)`` rows PACKED
+    into one flat uint8 buffer (``[maxp bytes | class bytes]``, exact
+    bit transport — unpacked by :func:`_unpack_scored`): one device->host
+    fetch per slice instead of two, which matters when the chip sits
+    behind a slow link where every fetch pays a fixed round-trip.
+    """
+    out = scan_chunk_range(params, seqblocks, n_windows, chunk0, spill,
+                           model, step, batch, n_chunks, compute_dtype,
+                           score=score, fused=fused)
+    if not score:
+        return out
+    classes, maxp, new_spill = out
+    packed = jnp.concatenate([
+        jax.lax.bitcast_convert_type(maxp, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(classes, jnp.uint8)])
+    return packed, new_spill
+
+
+def _unpack_scored(packed: np.ndarray,
+                   rows: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse of the ``_scan_slice`` scored packing (host side).
+
+    Bit-exact: the device bitcast emits little-endian byte order, matching
+    the host (validated by the scan-vs-fused and reference parity tests,
+    which compare through this path).
+    """
+    maxp = packed[:4 * rows].view(np.float32)
+    classes = packed[4 * rows:].view(np.int8)
+    return classes, maxp
+
+
+def mss_score_transform(classes: np.ndarray,
+                        maxp: np.ndarray) -> np.ndarray:
+    """The reference MSS score transform (prediction.py:51-57), float32.
+
+    ``t = log(p/(1-p))`` with ``p = min(max_prob + 1e-6, 0.99)``;
+    background positions score ``-10*t``, repeat positions ``+t``.
+    Elementwise, so it can run per-slice inside fetch workers and still be
+    bit-identical to the whole-array computation (numpy keeps float32
+    throughout, as the reference does before the final float64 cast).
+    """
+    mins = maxp + np.float32(1e-6)
+    mins = np.where(mins > 0.99, np.float32(0.99), mins)
+    t_scores = np.log(mins / (1 - mins))
+    return np.where(classes > 0, t_scores, -10 * t_scores)
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
@@ -388,8 +435,10 @@ class PredictionEngine:
         MSS scoring transform needs (prediction.py:51-55) with a fraction
         of the device->host transfer of the full probability matrix.
         Runs as pipelined fixed-size slices: all slices are dispatched
-        asynchronously up front, then fetched in order, so the transfer of
-        slice ``i`` rides behind the compute of slices ``i+1..``.
+        asynchronously up front, then fetched CONCURRENTLY (each slice is
+        one packed uint8 buffer), so transfers ride behind both the
+        device compute and each other — on a round-trip-dominated link
+        the fetch overheads overlap instead of serializing.
         """
         out_len = onehot.shape[-1]
         n_windows = window_starts(out_len, self.model.config.vecsize,
@@ -400,14 +449,18 @@ class PredictionEngine:
             return out_classes, out_maxp
         slices, spill, rows_per_slice = self._dispatch_slices(
             params, onehot, n_windows, score=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(len(slices), 8)) as ex:
+            fetched = list(ex.map(lambda s: np.asarray(s[0]), slices))
+        del slices  # free the device buffers
         pos = 0
-        for i in range(len(slices)):
-            classes_s, maxp_s = slices[i]
-            slices[i] = None  # free the device buffers after the copy
+        for packed in fetched:
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
             take = min(out_len - pos, rows_per_slice)
             if take > 0:
-                out_classes[pos:pos + take] = np.asarray(classes_s)[:take]
-                out_maxp[pos:pos + take] = np.asarray(maxp_s)[:take]
+                out_classes[pos:pos + take] = classes_s[:take]
+                out_maxp[pos:pos + take] = maxp_s[:take]
             pos += rows_per_slice
         spill_h = np.asarray(spill)
         hi = min(pos + spill_h.shape[0], out_len)
@@ -415,6 +468,59 @@ class PredictionEngine:
             out_classes[pos:hi] = spill_h[:hi - pos].argmax(axis=1)
             out_maxp[pos:hi] = spill_h[:hi - pos].max(axis=1)
         return out_classes, out_maxp
+
+    def predict_mss_scores(self, params, onehot: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-position ``(classes int8 [L], MSS scores float32 [L])``.
+
+        Like :meth:`predict_scored` but each fetch worker also applies the
+        reference score transform (:func:`mss_score_transform`) to its
+        slice, so the transform cost rides behind the other slices'
+        transfers; the result feeds ``ops.mss.find_mss_labels`` directly.
+        Bit-identical to transforming :meth:`predict_scored`'s outputs
+        whole-array (the transform is elementwise float32).
+        """
+        out_len = onehot.shape[-1]
+        n_windows = window_starts(out_len, self.model.config.vecsize,
+                                  self.step_size).size
+        out_classes = np.zeros(out_len, np.int8)
+        out_scores = np.empty(out_len, np.float32)
+        # Uncovered rows are zero-probability background (reference
+        # prediction.py:90 zeros): constant positive score.
+        zero_fill = mss_score_transform(np.zeros(1, np.int8),
+                                        np.zeros(1, np.float32))[0]
+        if n_windows == 0:
+            out_scores[:] = zero_fill
+            return out_classes, out_scores
+        slices, spill, rows_per_slice = self._dispatch_slices(
+            params, onehot, n_windows, score=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(i):
+            packed = np.asarray(slices[i][0])
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
+            pos = i * rows_per_slice
+            take = min(out_len - pos, rows_per_slice)
+            if take > 0:
+                out_classes[pos:pos + take] = classes_s[:take]
+                out_scores[pos:pos + take] = mss_score_transform(
+                    classes_s[:take], maxp_s[:take])
+
+        with ThreadPoolExecutor(min(len(slices), 8)) as ex:
+            list(ex.map(fetch, range(len(slices))))
+        pos = len(slices) * rows_per_slice
+        del slices  # free the device buffers
+        if pos < out_len:
+            spill_h = np.asarray(spill)
+            hi = min(pos + spill_h.shape[0], out_len)
+            if hi > pos:
+                cls = spill_h[:hi - pos].argmax(axis=1).astype(np.int8)
+                out_classes[pos:hi] = cls
+                out_scores[pos:hi] = mss_score_transform(
+                    cls, spill_h[:hi - pos].max(axis=1))
+            if hi < out_len:
+                out_scores[hi:] = zero_fill
+        return out_classes, out_scores
 
 
 def prepare_blocks(seq_repr: np.ndarray, step: int, vecsize: int, batch: int,

@@ -46,10 +46,9 @@ def apply_mss_scored(classes: np.ndarray, maxp: np.ndarray,
     float32 until the final cast), so transferring only ``max(axis=1)``
     and ``argmax(axis=1)`` loses nothing.
     """
-    mins = maxp + np.float32(1e-6)
-    mins = np.where(mins > 0.99, np.float32(0.99), mins)
-    t_scores = np.log(mins / (1 - mins))
-    scores = np.where(classes > 0, t_scores, -10 * t_scores).astype(float)
+    from deepgrp_tpu.predict.engine import mss_score_transform
+
+    scores = mss_score_transform(classes, maxp).astype(float)
     return mss.find_mss_labels(scores, classes.astype(np.int64), nof_labels,
                                options.min_mss_len, options.xdrop_len)
 
@@ -146,6 +145,19 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
         return apply_mss_on_device(classes_d, maxp_d, options,
                                    model.config.n_classes, out_len)
     if use_mss:
+        if hasattr(engine, "predict_mss_scores"):
+            # Scores are computed inside the engine's fetch workers
+            # (overlapping the device->host transfers), and the native MSS
+            # emits class ids directly; bit-identical to
+            # apply_mss_scored(...).argmax(axis=1) on predict_scored
+            # outputs.
+            classes, scores = engine.predict_mss_scores(params, onehot)
+            return mss.find_mss_classes(scores.astype(float),
+                                        classes.astype(np.int64),
+                                        model.config.n_classes,
+                                        options.min_mss_len,
+                                        options.xdrop_len)
+        # sharded engine: scored arrays, whole-array transform
         classes, maxp = engine.predict_scored(params, onehot)
         out = apply_mss_scored(classes, maxp, options,
                                model.config.n_classes)

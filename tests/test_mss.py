@@ -182,3 +182,16 @@ def test_empty_input():
     out = mss.find_mss_labels(np.array([]), np.array([], dtype=np.int64), 5,
                               50, 50)
     assert out.shape == (0, 5)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_find_mss_classes_matches_labels_argmax(seed):
+    """Direct class output == one-hot argmax, native and fallback."""
+    rng = np.random.default_rng(seed)
+    n = 1 << 15
+    scores = random_scores(rng, n)
+    labels = rng.integers(0, 5, size=n)
+    one_hot = mss.find_mss_labels(scores, labels, 5, 50, 50)
+    classes = mss.find_mss_classes(scores, labels, 5, 50, 50)
+    np.testing.assert_array_equal(classes, one_hot.argmax(axis=1))
+    assert classes.dtype == np.int32

@@ -115,6 +115,23 @@ def test_predict_scored_matches_full(small_model, random_dna):
         apply_mss(probs, options))
 
 
+def test_predict_scored_multislice(small_model, random_dna):
+    """Scored path across several pipeline slices (packed buffers fetched
+    concurrently) is bit-identical to the full-probability path."""
+    from deepgrp_tpu.predict.engine import SLICE_CHUNKS
+
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(1500, alphabet="ACGTN", seed=13))
+    engine = PredictionEngine(model, batch_size=4, step_size=10)
+    n_windows = (onehot.shape[1] - options.vecsize - 1) // 10 + 1
+    assert engine._n_chunks_sliced(n_windows) > SLICE_CHUNKS  # >1 slice
+    probs = engine.predict(params, onehot)
+    classes, maxp = engine.predict_scored(params, onehot)
+    np.testing.assert_array_equal(classes, probs.argmax(axis=1))
+    np.testing.assert_array_equal(maxp, probs.max(axis=1))
+
+
 @pytest.mark.parametrize("seq_len", [400, 150, 128])
 def test_predict_sequence_device_mss_matches_host(small_model, random_dna,
                                                   seq_len):
