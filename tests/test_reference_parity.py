@@ -108,6 +108,35 @@ def test_bed_bitwise_parity(name, mesh, tmp_path):
 
 
 @pytest.mark.parametrize("name", ["gru_att", "gru"])
+def test_bfloat16_engine_accuracy(name):
+    """bfloat16 inference stays accurate on reference-trained weights.
+
+    bfloat16 is the fast mode (--precision bfloat16), not a parity mode;
+    this pins that its per-position class calls agree with the float32
+    engine on nearly all positions, so the speedup is usable for real
+    annotation work.
+    """
+    from deepgrp_tpu.predict.engine import PredictionEngine
+    import jax.numpy as jnp
+
+    man = manifest()
+    config, params = load_keras_h5(os.path.join(FIXDIR, f"{name}.h5"))
+    model = DeepGRPModel(config)
+    with open(os.path.join(FIXDIR, f"{name}.fa")) as fh:
+        _, seq = next(read_multi_fasta(fh))
+    _, onehot = one_hot_encode_dna_sequence(seq)
+    step, batch = man["step_size"], man["batch_size"]
+    f32 = PredictionEngine(model, batch_size=batch, step_size=step)
+    bf16 = PredictionEngine(model, batch_size=batch, step_size=step,
+                            compute_dtype=jnp.bfloat16)
+    params = jax.device_put(params)
+    c32, _ = f32.predict_scored(params, onehot)
+    c16, _ = bf16.predict_scored(params, onehot)
+    agreement = float((c32 == c16).mean())
+    assert agreement >= 0.95, f"bf16/f32 class agreement {agreement:.3f}"
+
+
+@pytest.mark.parametrize("name", ["gru_att", "gru"])
 def test_bed_bitwise_parity_fused(name, tmp_path):
     """The fused Pallas GRU path reproduces the reference BED exactly.
 
