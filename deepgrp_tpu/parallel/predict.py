@@ -38,8 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepgrp_tpu.models.model import DeepGRPModel
 from deepgrp_tpu.parallel.mesh import DATA_AXIS
-from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, scan_chunk_range,
-                                        window_starts)
+from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, _unpack_scored,
+                                        scan_chunk_range, window_starts)
 
 
 @partial(jax.jit,
@@ -68,9 +68,18 @@ def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
                                spill[0], model, step, batch, n_chunks,
                                compute_dtype, score=score,
                                with_head=with_head, fused=fused)
+        if score:
+            # Pack (maxp f32, classes int8) into one uint8 buffer per
+            # device (same bit transport as the single-device engine's
+            # _scan_slice): one fetch per slice instead of two.
+            classes, maxp, *rest = out
+            packed = jnp.concatenate([
+                jax.lax.bitcast_convert_type(maxp, jnp.uint8).reshape(-1),
+                jax.lax.bitcast_convert_type(classes, jnp.uint8)])
+            out = (packed, *rest)
         return tuple(y[None] for y in out)
 
-    n_out = 4 if (score and with_head) else (3 if score else 2)
+    n_out = 3 if (score and with_head) else 2
     shard = jax.shard_map(device_fn, mesh=mesh,
                           in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
                           out_specs=(P(DATA_AXIS),) * n_out,
@@ -355,17 +364,26 @@ class ShardedPredictionEngine:
             cls_b, maxp_b = _boundary_merge(tails, heads, self.mesh,
                                             score=True)
             boundary = (_fetch(cls_b), _fetch(maxp_b))
-        for i in range(len(slices)):
-            classes_s, maxp_s = slices[i]
-            slices[i] = None
-            classes_s = _fetch(classes_s)
-            maxp_s = _fetch(maxp_s)
+        if jax.process_count() == 1:
+            # Concurrent packed fetches (round-trip overheads overlap).
+            # Multi-process stays sequential: process_allgather is a
+            # collective and must execute in the same order everywhere.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(slices), 8)) as ex:
+                fetched = list(ex.map(lambda s: np.asarray(s[0]), slices))
+        else:
+            fetched = [_fetch(s[0]) for s in slices]
+        del slices  # free the device buffers
+        for i, packed_s in enumerate(fetched):
             for d in range(self.n_devices):
+                classes_s, maxp_s = _unpack_scored(packed_s[d],
+                                                   rows_per_slice)
                 lo = d * region_rows + i * rows_per_slice
                 take = min(out_len - lo, rows_per_slice)
                 if take > 0:
-                    out_classes[lo:lo + take] = classes_s[d, :take]
-                    out_maxp[lo:lo + take] = maxp_s[d, :take]
+                    out_classes[lo:lo + take] = classes_s[:take]
+                    out_maxp[lo:lo + take] = maxp_s[:take]
         if boundary is not None:
             cls_b, maxp_b = boundary
             for d in range(1, self.n_devices):
