@@ -105,7 +105,7 @@ def measure_train(codes: np.ndarray) -> float:
     from deepgrp_tpu.data.preprocess import Data
     from deepgrp_tpu.train.optimizers import get_optimizer
     from deepgrp_tpu.train.sampler import BatchSampler
-    from deepgrp_tpu.train.training import _train_step
+    from deepgrp_tpu.train.training import _train_epoch
 
     options, model = flagship()
     options.batch_size = 256  # reference training batch (model.py:101)
@@ -127,22 +127,28 @@ def measure_train(codes: np.ndarray) -> float:
                       sampler.batch_size, sampler.seq_len)
     key = jax.random.PRNGKey(0)
 
-    def step(params, opt_state, i):
-        return _train_step(params, opt_state, jax.random.fold_in(key, i),
-                           sampler._fwd, sampler._lbl, sampler._candidates,
-                           sampler._lengths, sampler_static, model,
-                           optimizer, int(options.vecsize))
-
-    params, opt_state, loss = step(params, opt_state, 0)  # compile
-    float(loss)  # real fetch: block_until_ready alone is unreliable on
-    # tunneled platforms; an in-order stream makes one scalar fetch wait
-    # for everything enqueued before it.
     reps = 20
-    t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        params, opt_state, loss = step(params, opt_state, i)
-    float(loss)
-    return reps / (time.perf_counter() - t0)
+
+    def epoch(params, opt_state, key):
+        # The production Trainer path: `reps` steps as ONE lax.scan
+        # program (train/training.py:_train_epoch) — a single dispatch
+        # per epoch.
+        return _train_epoch(params, opt_state, key, sampler._fwd,
+                            sampler._lbl, sampler._candidates,
+                            sampler._lengths, sampler_static, model,
+                            optimizer, int(options.vecsize), reps)
+
+    params, opt_state, key, losses = epoch(params, opt_state, key)  # compile
+    float(losses[-1])  # real fetch: block_until_ready alone is unreliable
+    # on tunneled platforms; an in-order stream makes one scalar fetch
+    # wait for everything enqueued before it.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, key, losses = epoch(params, opt_state, key)
+        float(losses[-1])
+        best = min(best, time.perf_counter() - t0)
+    return reps / best
 
 
 # Runs in a subprocess: the ACTUAL reference model under TF (tf_keras

@@ -25,18 +25,12 @@ from deepgrp_tpu.train.sampler import BatchSampler
 from deepgrp_tpu.train.training import categorical_crossentropy
 
 
-def make_dp_train_step(model: DeepGRPModel,
-                       optimizer: optax.GradientTransformation,
-                       mesh: Mesh, options: Options,
-                       train_sampler: BatchSampler):
-    """Build a jitted data-parallel train step.
-
-    The per-device batch is ``batch_size // n_devices`` (``batch_size`` must
-    divide evenly).  Returns
-    ``step(params, opt_state, key, fwd, lbl, candidates, lengths)
-    -> (params, opt_state, loss)`` where data arrays are replicated.
-    """
-    n_dev = mesh.shape[DATA_AXIS]
+def _make_device_step(model: DeepGRPModel,
+                      optimizer: optax.GradientTransformation,
+                      options: Options, train_sampler: BatchSampler,
+                      n_dev: int):
+    """Per-device step body run inside ``shard_map`` (sample local slice,
+    local grads, ``pmean`` over ICI, replicated update)."""
     if train_sampler.batch_size % n_dev:
         raise ValueError(
             f"batch_size {train_sampler.batch_size} not divisible by "
@@ -74,10 +68,62 @@ def make_dp_train_step(model: DeepGRPModel,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    return device_step
+
+
+def make_dp_train_step(model: DeepGRPModel,
+                       optimizer: optax.GradientTransformation,
+                       mesh: Mesh, options: Options,
+                       train_sampler: BatchSampler):
+    """Build a jitted data-parallel train step.
+
+    The per-device batch is ``batch_size // n_devices`` (``batch_size`` must
+    divide evenly).  Returns
+    ``step(params, opt_state, key, fwd, lbl, candidates, lengths)
+    -> (params, opt_state, loss)`` where data arrays are replicated.
+    """
+    device_step = _make_device_step(model, optimizer, options, train_sampler,
+                                    mesh.shape[DATA_AXIS])
     sharded = jax.shard_map(
         device_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_dp_train_epoch(model: DeepGRPModel,
+                        optimizer: optax.GradientTransformation,
+                        mesh: Mesh, options: Options,
+                        train_sampler: BatchSampler, n_steps: int):
+    """Data-parallel whole-epoch program: ``n_steps`` DP steps as one
+    ``lax.scan`` inside the ``shard_map`` — one dispatch per epoch (see
+    ``train/training.py:_train_epoch``), with the per-step ``pmean``
+    all-reduces riding ICI inside the scan.  The key chain (one ``split``
+    per step, then per-device ``fold_in``) matches the per-step driver.
+
+    Returns ``epoch(params, opt_state, key, fwd, lbl, candidates, lengths)
+    -> (params, opt_state, key, losses [n_steps])``.
+    """
+    device_step = _make_device_step(model, optimizer, options, train_sampler,
+                                    mesh.shape[DATA_AXIS])
+
+    def device_epoch(params, opt_state, key, fwd, lbl, candidates, lengths):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = device_step(
+                params, opt_state, step_key, fwd, lbl, candidates, lengths)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps)
+        return params, opt_state, key, losses
+
+    sharded = jax.shard_map(
+        device_epoch, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0, 1))
 

@@ -7,9 +7,10 @@ validation batch per epoch, EarlyStopping on val_loss with patience
 weight checkpoints into ``logdir``, TensorBoard metrics.
 
 TPU-native design: the whole optimization step (sample -> forward ->
-loss -> backward -> update) is a single ``jit`` with donated
-params/optimizer state; an epoch runs as ``n_batches`` dispatches of that
-step with per-step PRNG keys.  The loss is categorical cross-entropy
+loss -> backward -> update) is device code with donated params/optimizer
+state, and a whole EPOCH (``n_batches`` steps) runs as one ``lax.scan``
+program — a single dispatch per epoch, so host round-trip latency never
+sits between steps.  The loss is categorical cross-entropy
 computed from logits (``log_softmax``) — numerically equivalent to the
 reference's CCE-on-softmax (model.py:333-334) but stable.  Metrics stream
 to ``logdir/metrics.jsonl`` and, when available, TensorBoard event files.
@@ -85,13 +86,10 @@ class MetricsWriter:
             self._tb.close()
 
 
-@partial(jax.jit,
-         static_argnames=("model", "optimizer", "vecsize", "sampler_static"),
-         donate_argnums=(0, 1))
-def _train_step(params, opt_state, key, fwd, lbl, candidates, lengths,
-                sampler_static, model: DeepGRPModel,
-                optimizer: optax.GradientTransformation, vecsize: int):
-    """One fused optimization step: sample, gather, forward/backward, update."""
+def _train_step_body(params, opt_state, key, fwd, lbl, candidates, lengths,
+                     sampler_static, model: DeepGRPModel,
+                     optimizer: optax.GradientTransformation, vecsize: int):
+    """One optimization step: sample, gather, forward/backward, update."""
     from deepgrp_tpu.train import sampler as sampler_lib
 
     n_sampled, ocs, batch, seq_len = sampler_static
@@ -116,6 +114,44 @@ def _train_step(params, opt_state, key, fwd, lbl, candidates, lengths,
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+_train_step = partial(jax.jit,
+                      static_argnames=("model", "optimizer", "vecsize",
+                                       "sampler_static"),
+                      donate_argnums=(0, 1))(_train_step_body)
+
+
+@partial(jax.jit,
+         static_argnames=("model", "optimizer", "vecsize", "sampler_static",
+                          "n_steps"),
+         donate_argnums=(0, 1))
+def _train_epoch(params, opt_state, key, fwd, lbl, candidates, lengths,
+                 sampler_static, model: DeepGRPModel,
+                 optimizer: optax.GradientTransformation, vecsize: int,
+                 n_steps: int):
+    """A whole epoch (``n_steps`` optimization steps) as ONE device
+    program: the per-step loop runs as a ``lax.scan`` with donated
+    params/optimizer state, so an epoch costs a single dispatch instead of
+    ``n_batches`` host round-trips (which dominate when the chip sits
+    behind a high-latency link, and still cost ~XLA dispatch overhead
+    when it doesn't).  The PRNG key chain (one ``split`` per step, carried
+    forward) matches the host-loop formulation exactly.
+
+    Returns ``(params, opt_state, key, losses [n_steps])``.
+    """
+
+    def body(carry, _):
+        params, opt_state, key = carry
+        key, step_key = jax.random.split(key)
+        params, opt_state, loss = _train_step_body(
+            params, opt_state, step_key, fwd, lbl, candidates, lengths,
+            sampler_static, model, optimizer, vecsize)
+        return (params, opt_state, key), loss
+
+    (params, opt_state, key), losses = jax.lax.scan(
+        body, (params, opt_state, key), None, length=n_steps)
+    return params, opt_state, key, losses
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -182,28 +218,31 @@ class Trainer:
                           train_sampler.one_class_size,
                           train_sampler.batch_size, train_sampler.seq_len)
 
-        dp_step = None
+        dp_epoch = None
         if self.mesh is not None:
             from deepgrp_tpu.parallel.mesh import DATA_AXIS
             if self.mesh.shape[DATA_AXIS] > 1:
-                from deepgrp_tpu.parallel.train import make_dp_train_step
-                dp_step = make_dp_train_step(model, self.optimizer,
-                                             self.mesh, options,
-                                             train_sampler)
+                from deepgrp_tpu.parallel.train import make_dp_train_epoch
+                dp_epoch = make_dp_train_epoch(model, self.optimizer,
+                                               self.mesh, options,
+                                               train_sampler,
+                                               options.n_batches)
                 _LOG.info("data-parallel training over %d devices",
                           self.mesh.shape[DATA_AXIS])
 
-        def run_step(params, opt_state, step_key):
-            if dp_step is not None:
-                return dp_step(params, opt_state, step_key,
-                               train_sampler._fwd, train_sampler._lbl,
-                               train_sampler._candidates,
-                               train_sampler._lengths)
-            return _train_step(params, opt_state, step_key,
-                               train_sampler._fwd, train_sampler._lbl,
-                               train_sampler._candidates,
-                               train_sampler._lengths, sampler_static,
-                               model, self.optimizer, options.vecsize)
+        def run_epoch(params, opt_state, key):
+            """One dispatch per epoch: n_batches steps scanned on device."""
+            if dp_epoch is not None:
+                return dp_epoch(params, opt_state, key,
+                                train_sampler._fwd, train_sampler._lbl,
+                                train_sampler._candidates,
+                                train_sampler._lengths)
+            return _train_epoch(params, opt_state, key,
+                                train_sampler._fwd, train_sampler._lbl,
+                                train_sampler._candidates,
+                                train_sampler._lengths, sampler_static,
+                                model, self.optimizer, options.vecsize,
+                                options.n_batches)
 
         history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
         best_val = np.inf
@@ -212,13 +251,9 @@ class Trainer:
 
         for epoch in range(1, options.n_epochs + 1):
             epoch_t0 = time.time()
-            losses = []
-            for _ in range(options.n_batches):
-                key, step_key = jax.random.split(key)
-                params, opt_state, loss = run_step(params, opt_state,
-                                                   step_key)
-                losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            params, opt_state, key, losses = run_epoch(params, opt_state,
+                                                       key)
+            train_loss = float(jnp.mean(losses))
 
             if stop_on_nan and not np.isfinite(train_loss):
                 _LOG.warning(
