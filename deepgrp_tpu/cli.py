@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Data-parallel training across all visible "
                        "devices (auto: when more than one device and the "
                        "batch size divides evenly)")
+    train.add_argument("--tensorboard", action=argparse.BooleanOptionalAction,
+                       default=True,
+                       help="Write TensorBoard event files next to "
+                       "metrics.jsonl (reference parity: always on, "
+                       "training.py:40-45)")
 
     predict = subparsers.add_parser(
         name="predict",
@@ -162,6 +167,16 @@ def _apply_jax_flags(args: argparse.Namespace) -> None:
     if args.compile_cache:
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.verbose >= 2:
+        # Device-placement debug parity (reference __main__.py:235-241 maps
+        # -vv to tf.debugging.set_log_device_placement): report the backend
+        # and device roster, and have XLA log every compiled computation.
+        _LOG.debug("backend=%s process=%d/%d", jax.default_backend(),
+                   jax.process_index(), jax.process_count())
+        for dev in jax.devices():
+            _LOG.debug("device %s: platform=%s host=%d", dev,
+                       dev.platform, dev.process_index)
+        jax.config.update("jax_log_compiles", True)
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -300,7 +315,8 @@ def cmd_train(args: argparse.Namespace, options) -> None:
     model = create_model(parameter)
     _LOG.info("Training Model")
     best_params, _ = training((train_data, val_data), parameter, model,
-                              args.logdir, mesh=mesh)
+                              args.logdir, mesh=mesh,
+                              tensorboard=args.tensorboard)
 
     _LOG.info("Saving model as %s", args.modelfile)
     if args.modelfile.endswith((".h5", ".hdf5")):

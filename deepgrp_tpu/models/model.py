@@ -187,19 +187,18 @@ def forward_probs_from_codes(params: Params, codes: jax.Array,
                              compute_dtype=jnp.float32) -> jax.Array:
     """Fused-kernel forward: integer code windows -> class probabilities.
 
-    GRU-only fast path for TPU inference: the fwd+revcomp recurrence and
-    branch averaging run inside one Pallas kernel
-    (models/pallas_rnn.py:pallas_gru_avg); only the tiny attention + dense
+    TPU inference fast path for both cells: the fwd+revcomp recurrence and
+    branch averaging run inside one Pallas kernel (models/pallas_rnn.py:
+    pallas_gru_avg / pallas_lstm_avg); only the tiny attention + dense
     head runs in XLA.  Numerically equivalent to :func:`forward` on the
     one-hot expansion of ``codes`` (the kernel's input projection is an
     exact row select), up to matmul rounding.
     """
-    from deepgrp_tpu.models.pallas_rnn import pallas_gru_avg
+    from deepgrp_tpu.models.pallas_rnn import (pallas_gru_avg,
+                                               pallas_lstm_avg)
 
-    if config.rnn == "LSTM":
-        raise ValueError("fused code-window forward supports GRU only")
-    avg, hidden = pallas_gru_avg(params["rnn"], codes,
-                                 out_dtype=compute_dtype)
+    rnn_avg = pallas_lstm_avg if config.rnn == "LSTM" else pallas_gru_avg
+    avg, hidden = rnn_avg(params["rnn"], codes, out_dtype=compute_dtype)
     with jax.default_matmul_precision(
             "highest" if compute_dtype == jnp.float32 else "default"):
         if config.use_attention:

@@ -306,6 +306,158 @@ def _pallas_gru_avg(codes_fwd: jax.Array, codes_rev: jax.Array,
     return avg[:batch, :t_steps], hidden[:batch]
 
 
+def _lstm_avg_kernel(codes_ref, w_ref, b_ref, u_ref, avg_ref, hidden_ref,
+                     h_ref, c_ref, acc_ref, *, units: int, time_block: int,
+                     channels: int, last_tile: int, last_sub: int,
+                     precision):
+    """LSTM leg of the fused recurrence (same layout as _gru_avg_kernel).
+
+    Keras gate order (i, f, c, o) with a single bias row
+    (models/rnn.py lstm_apply); carry is (h, c), both [2*bb, u] f32
+    VMEM scratch.  Everything else — code row-select input projection,
+    fwd/revcomp row pairing, fused branch averaging — is identical to the
+    GRU kernel.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    block_b = codes_ref.shape[0] // 2
+    tiles_per_block = _CODE_COLS // time_block
+    col0 = (t % tiles_per_block) * time_block
+    codes_all = codes_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CODE_COLS), 1)
+    h = h_ref[:]
+    c = c_ref[:]
+    for s in range(time_block):
+        code = jnp.sum(jnp.where(lane == col0 + s, codes_all, 0), axis=1,
+                       keepdims=True)
+        xp = jnp.broadcast_to(b_ref[0], (2 * block_b, 4 * units))
+        for ch in range(channels):
+            xp = xp + jnp.where(code == ch, w_ref[ch][None, :], 0.0)
+        gates = xp + jnp.dot(h, u_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+        i = jax.nn.sigmoid(gates[:, :units])
+        f = jax.nn.sigmoid(gates[:, units:2 * units])
+        g = jnp.tanh(gates[:, 2 * units:3 * units])
+        o = jax.nn.sigmoid(gates[:, 3 * units:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        avg = (h[:block_b] + h[block_b:]) * 0.5
+        acc_ref[:, s, :] = avg
+        if s == last_sub:
+            @pl.when(t == last_tile)
+            def _(avg_last=avg):
+                hidden_ref[:] = avg_last.astype(hidden_ref.dtype)
+    h_ref[:] = h
+    c_ref[:] = c
+    avg_ref[:] = acc_ref[:].astype(avg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "time_block",
+                                             "out_dtype", "interpret"))
+def _pallas_lstm_avg(codes_fwd: jax.Array, codes_rev: jax.Array,
+                     kernel: jax.Array, bias: jax.Array,
+                     recurrent: jax.Array, block_b: int, time_block: int,
+                     out_dtype, interpret: bool
+                     ) -> Tuple[jax.Array, jax.Array]:
+    batch, t_steps = codes_fwd.shape
+    channels = kernel.shape[0]
+    units = recurrent.shape[0]
+    pad_b = (-batch) % block_b
+    pad_t = (-t_steps) % time_block
+    if pad_b or pad_t:
+        codes_fwd = jnp.pad(codes_fwd, ((0, pad_b), (0, pad_t)),
+                            constant_values=channels)
+        codes_rev = jnp.pad(codes_rev, ((0, pad_b), (0, pad_t)),
+                            constant_values=channels)
+    padded_b = batch + pad_b
+    padded_t = t_steps + pad_t
+    n_bblocks = padded_b // block_b
+    pad_cols = (-padded_t) % _CODE_COLS
+    cf = jnp.pad(codes_fwd, ((0, 0), (0, pad_cols)),
+                 constant_values=channels).reshape(n_bblocks, block_b, -1)
+    cr = jnp.pad(codes_rev, ((0, 0), (0, pad_cols)),
+                 constant_values=channels).reshape(n_bblocks, block_b, -1)
+    codes_paired = jnp.concatenate([cf, cr], axis=1).reshape(
+        2 * padded_b, padded_t + pad_cols)
+    tiles_per_block = _CODE_COLS // time_block
+
+    precision = (jax.lax.Precision.HIGHEST if out_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid = (n_bblocks, padded_t // time_block)
+    avg, hidden = pl.pallas_call(
+        functools.partial(_lstm_avg_kernel, units=units,
+                          time_block=time_block, channels=channels,
+                          last_tile=(t_steps - 1) // time_block,
+                          last_sub=(t_steps - 1) % time_block,
+                          precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * block_b, _CODE_COLS),
+                         lambda i, t, n=tiles_per_block: (i, t // n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 4 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((units, 4 * units), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, time_block, units),
+                         lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, units), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_b, padded_t, units), out_dtype),
+            jax.ShapeDtypeStruct((padded_b, units), out_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * block_b, units), jnp.float32),
+            pltpu.VMEM((2 * block_b, units), jnp.float32),
+            pltpu.VMEM((block_b, time_block, units), jnp.float32),
+        ],
+        interpret=interpret,
+    )(codes_paired.astype(jnp.int32), kernel.astype(jnp.float32),
+      bias.reshape(1, 4 * units).astype(jnp.float32),
+      recurrent.astype(jnp.float32))
+    return avg[:batch, :t_steps], hidden[:batch]
+
+
+def pallas_lstm_avg(params, codes: jax.Array, *, block_b: int = 512,
+                    time_block: Optional[int] = None,
+                    out_dtype=jnp.float32,
+                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused fwd+revcomp LSTM with branch averaging (inference).
+
+    LSTM counterpart of :func:`pallas_gru_avg` — same contract (``codes
+    [B, T]`` integer base codes in, ``(avg [B, T, u], hidden_avg [B, u])``
+    out), matching the reference's LSTM cell option
+    (/root/reference/deepgrp/model.py:218-230).  The reference's attention
+    path is GRU-only (model.py:308), so the LSTM head consumes only
+    ``avg``; ``hidden_avg`` is returned for interface symmetry.
+    """
+    if time_block is None:
+        time_block = 16 if out_dtype == jnp.bfloat16 else _TIME_BLOCK
+    if _CODE_COLS % time_block:
+        raise ValueError(
+            f"time_block must divide {_CODE_COLS} (codes lane tile); "
+            f"got {time_block}")
+    comp = jnp.asarray(_COMPLEMENT_CODES, dtype=codes.dtype)
+    codes_rev = comp[codes[:, ::-1]]
+    block_b = min(block_b, max(codes.shape[0], 8))
+    interpret = interpret or jax.default_backend() != "tpu"
+    return _pallas_lstm_avg(codes, codes_rev, params["kernel"],
+                            params["bias"], params["recurrent"], block_b,
+                            time_block, out_dtype, interpret)
+
+
 # block_b=512 is both the measured winner (benchmarks/rnn_kernel_bench.json)
 # and the largest block Mosaic compiles: 1024 (a [2048, .] combined batch)
 # crashes the TPU compiler outright.  The best time_block is dtype-

@@ -189,14 +189,64 @@ extern "C" void dg_find_mss_classes_mt(const double *scores,
   // per position directly — the argmax of the one-hot row — skipping the
   // [n, n_labels] float64 intermediate (8*n_labels bytes/position) that
   // callers wanting classes would immediately reduce away.
-  for (int64_t p = 0; p < n; ++p) {
-    classes_out[p] = static_cast<int32_t>(labels[p]);
-  }
-  ForEachMssSegment(
-      scores, labels, n, n_labels, min_mss_len, xdrop_len, n_threads,
-      [&](int64_t st, int64_t en, int32_t major) {
-        for (int64_t p = st; p < en; ++p) {
-          if (labels[p] == 0) classes_out[p] = major;
+  //
+  // Both O(n) passes are block-parallel (mirroring dg_mss_find_all_mt's
+  // split): the initial labels copy over even position blocks, and the
+  // in-segment relabel over even segment blocks (relabels touch disjoint
+  // ranges, so no synchronization is needed).
+  const int64_t kMinParallel = 1 << 16;
+  if (n_threads > 1 && n >= kMinParallel) {
+    std::vector<std::thread> workers;
+    const int64_t block = (n + n_threads - 1) / n_threads;
+    for (int32_t w = 0; w < n_threads; ++w) {
+      const int64_t lo = w * block;
+      const int64_t hi = std::min<int64_t>(lo + block, n);
+      if (lo >= hi) break;
+      workers.emplace_back([=]() {
+        for (int64_t p = lo; p < hi; ++p) {
+          classes_out[p] = static_cast<int32_t>(labels[p]);
         }
       });
+    }
+    for (std::thread &t : workers) t.join();
+  } else {
+    for (int64_t p = 0; p < n; ++p) {
+      classes_out[p] = static_cast<int32_t>(labels[p]);
+    }
+  }
+
+  struct Seg {
+    int64_t st, en;
+    int32_t major;
+  };
+  std::vector<Seg> segs;
+  ForEachMssSegment(scores, labels, n, n_labels, min_mss_len, xdrop_len,
+                    n_threads, [&](int64_t st, int64_t en, int32_t major) {
+                      segs.push_back({st, en, major});
+                    });
+  int64_t covered = 0;
+  for (const Seg &s : segs) covered += s.en - s.st;
+  if (n_threads > 1 && covered >= kMinParallel && segs.size() > 1) {
+    std::vector<std::thread> workers;
+    const size_t block = (segs.size() + n_threads - 1) / n_threads;
+    for (int32_t w = 0; w < n_threads; ++w) {
+      const size_t lo = static_cast<size_t>(w) * block;
+      const size_t hi = std::min(lo + block, segs.size());
+      if (lo >= hi) break;
+      workers.emplace_back([=, &segs]() {
+        for (size_t s = lo; s < hi; ++s) {
+          for (int64_t p = segs[s].st; p < segs[s].en; ++p) {
+            if (labels[p] == 0) classes_out[p] = segs[s].major;
+          }
+        }
+      });
+    }
+    for (std::thread &t : workers) t.join();
+  } else {
+    for (const Seg &s : segs) {
+      for (int64_t p = s.st; p < s.en; ++p) {
+        if (labels[p] == 0) classes_out[p] = s.major;
+      }
+    }
+  }
 }

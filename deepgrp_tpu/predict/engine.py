@@ -29,6 +29,7 @@ batch's size).  This engine places every window at its true offset
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Optional, Tuple
 
@@ -97,7 +98,7 @@ def scan_chunk_range(params, seqblocks: jax.Array, n_windows, chunk0,
     span = (batch - 1) * step + vecsize
     block_rows = batch * step
     spill_rows = span - block_rows  # == vecsize - step, may be <= 0
-    fused = fused and seqblocks.ndim == 2 and model.config.rnn != "LSTM"
+    fused = fused and seqblocks.ndim == 2
     if not fused and compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
@@ -194,10 +195,15 @@ def _unpack_scored(packed: np.ndarray,
                    rows: int) -> Tuple[np.ndarray, np.ndarray]:
     """Inverse of the ``_scan_slice`` scored packing (host side).
 
-    Bit-exact: the device bitcast emits little-endian byte order, matching
-    the host (validated by the scan-vs-fused and reference parity tests,
-    which compare through this path).
+    Bit-exact: the device bitcast emits little-endian byte order, so the
+    host view must decode little-endian too (asserted below; every
+    realistic TPU host is little-endian, but the assumption is part of
+    the packing contract and validated by the scan-vs-fused and reference
+    parity tests, which compare through this path).
     """
+    assert sys.byteorder == "little", (
+        "scored packing assumes a little-endian host (device bitcast "
+        "bytes are little-endian)")
     maxp = packed[:4 * rows].view(np.float32)
     classes = packed[4 * rows:].view(np.int8)
     return classes, maxp
@@ -251,20 +257,16 @@ def resolve_rnn_kernel(mode: str, model: DeepGRPModel,
                        compute_dtype) -> bool:
     """Whether to run the fused Pallas recurrence (models/pallas_rnn.py).
 
-    ``"scan"``/``"fused"`` force; ``"auto"`` picks fused on TPU for GRU in
-    BOTH dtypes — the measured winner at the flagship shape
-    (benchmarks/rnn_kernel_bench.json: f32 2.79x, bf16 1.89x vs the XLA
-    scan) — and the float32 fused path is bitwise BED-identical to the
-    reference on real-TPU Mosaic compilation
+    ``"scan"``/``"fused"`` force; ``"auto"`` picks fused on TPU for BOTH
+    cells in BOTH dtypes — the measured winner at the flagship shape
+    (benchmarks/rnn_kernel_bench.json: GRU f32 2.79x, bf16 1.89x vs the
+    XLA scan; LSTM rows in the same sweep) — and the float32 fused path is
+    bitwise BED-identical to the reference on real-TPU Mosaic compilation
     (tests/test_reference_parity.py::test_bed_bitwise_parity_fused, run
     with DEEPGRP_TEST_PLATFORM=tpu).  Non-TPU backends keep the scan (the
     kernel would run through the slow Pallas interpreter).
     """
     if mode == "scan":
-        return False
-    if model.config.rnn == "LSTM":
-        if mode == "fused":
-            raise ValueError("fused RNN kernel supports GRU only")
         return False
     if mode == "fused":
         return True

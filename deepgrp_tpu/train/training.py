@@ -173,7 +173,7 @@ class Trainer:
     """
 
     def __init__(self, model: DeepGRPModel, options: Options,
-                 logdir: os.PathLike, tensorboard: bool = False,
+                 logdir: os.PathLike, tensorboard: bool = True,
                  mesh=None):
         self.model = model
         self.options = options
@@ -294,15 +294,20 @@ def training(data: Tuple[Data, Data], options: Options,
              model: Optional[DeepGRPModel] = None,
              logdir: os.PathLike = ".",
              extra_callbacks: Optional[List[MetricCallback]] = None,
-             params=None, seed: int = 0, mesh=None):
+             params=None, seed: int = 0, mesh=None,
+             tensorboard: bool = True):
     """Functional API mirroring the reference ``training()``
     (training.py:15-73).  Returns ``(best_params, history)``.
 
     ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training.
+    ``tensorboard`` (default on, reference parity: the TensorBoard
+    callback always runs, training.py:40-45) mirrors metrics into TB
+    event files next to ``metrics.jsonl``.
     """
     if model is None:
         model = create_model(options)
-    trainer = Trainer(model, options, logdir, mesh=mesh)
+    trainer = Trainer(model, options, logdir, mesh=mesh,
+                      tensorboard=tensorboard)
     try:
         return trainer.fit(data[0], data[1], params=params, seed=seed,
                            callbacks=extra_callbacks)

@@ -110,6 +110,11 @@ def test_train_end_to_end(tmp_path):
     assert config.vecsize == 20
     assert config.n_classes == 3
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
+    # TensorBoard events are on by default (reference parity: the TB
+    # callback always runs, training.py:40-45).
+    events = [f for f in os.listdir(logdir)
+              if f.startswith("events.out.tfevents")]
+    assert events, "CLI train run must leave a TB event file in logdir"
 
 
 def test_cli_default_toml_precedence_quirk(tmp_path):

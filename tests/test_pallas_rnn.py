@@ -88,6 +88,64 @@ def test_gru_avg_kernel_matches_scan_composition(batch, steps, units,
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("batch,steps,units", [(4, 17, 6), (8, 24, 12),
+                                               (3, 9, 5)])
+def test_lstm_avg_kernel_matches_scan_composition(batch, steps, units):
+    # LSTM leg of the fused kernel vs the scan + reverse_complement
+    # composition (attention is GRU-only, so only avg/hidden matter).
+    from deepgrp_tpu.models.model import (ModelConfig, init_params,
+                                          reverse_complement)
+    from deepgrp_tpu.models import pallas_rnn
+
+    rng = np.random.default_rng(batch * steps + 1)
+    codes = rng.integers(0, 5, size=(batch, steps))
+    codes[0, -3:] = 4  # N channel
+    config = ModelConfig(vecsize=steps, units=units, rnn="LSTM",
+                         dropout=0.0)
+    params = init_params(jax.random.PRNGKey(3), config)
+
+    onehot = np.eye(5, dtype=np.float32)[codes]
+    x = jnp.asarray(onehot)
+    both = jnp.concatenate([x, reverse_complement(x)], axis=0)
+    seq, last = rnn_lib.lstm_apply(params["rnn"], both)
+    want_avg = (seq[:batch] + seq[batch:]) * 0.5
+    want_hidden = (last[:batch] + last[batch:]) * 0.5
+
+    avg, hidden = pallas_rnn.pallas_lstm_avg(params["rnn"],
+                                             jnp.asarray(codes),
+                                             block_b=8, time_block=8,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(want_avg),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(want_hidden),
+                               atol=1e-5)
+
+
+def test_forward_probs_from_codes_matches_forward_lstm(monkeypatch):
+    # Fused LSTM forward (interpreter mode) == scan forward.
+    from deepgrp_tpu.models import pallas_rnn
+    from deepgrp_tpu.models.model import (ModelConfig, forward,
+                                          forward_probs_from_codes,
+                                          init_params)
+
+    real = pallas_rnn.pallas_lstm_avg
+
+    def interp(params, codes, **kw):
+        kw["interpret"] = True
+        kw.setdefault("block_b", 8)
+        return real(params, codes, **kw)
+
+    monkeypatch.setattr(pallas_rnn, "pallas_lstm_avg", interp)
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 5, size=(4, 30))
+    config = ModelConfig(vecsize=30, units=6, rnn="LSTM", dropout=0.0)
+    params = init_params(jax.random.PRNGKey(4), config)
+    want = forward(params,
+                   jnp.asarray(np.eye(5, dtype=np.float32)[codes]), config)
+    got = forward_probs_from_codes(params, jnp.asarray(codes), config)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_forward_probs_from_codes_matches_forward(monkeypatch):
     # Full fused forward (kernel in interpreter mode) == scan forward.
     from deepgrp_tpu.models import pallas_rnn

@@ -292,10 +292,9 @@ def test_rnn_kernel_resolution():
     lstm = create_model(Options(vecsize=30, units=8, rnn="LSTM"))
     assert resolve_rnn_kernel("scan", gru, jnp.float32) is False
     assert resolve_rnn_kernel("fused", gru, jnp.float32) is True
-    assert resolve_rnn_kernel("auto", lstm, jnp.bfloat16) is False
-    with pytest.raises(ValueError, match="GRU only"):
-        resolve_rnn_kernel("fused", lstm, jnp.float32)
+    assert resolve_rnn_kernel("fused", lstm, jnp.float32) is True
     with pytest.raises(ValueError, match="auto"):
         resolve_rnn_kernel("nope", gru, jnp.float32)
     # auto never picks fused off-TPU (this test runs on CPU)
     assert resolve_rnn_kernel("auto", gru, jnp.bfloat16) is False
+    assert resolve_rnn_kernel("auto", lstm, jnp.bfloat16) is False

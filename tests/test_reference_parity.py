@@ -136,9 +136,9 @@ def test_bfloat16_engine_accuracy(name):
     assert agreement >= 0.95, f"bf16/f32 class agreement {agreement:.3f}"
 
 
-@pytest.mark.parametrize("name", ["gru_att", "gru"])
+@pytest.mark.parametrize("name", ["gru_att", "gru", "lstm"])
 def test_bed_bitwise_parity_fused(name, tmp_path):
-    """The fused Pallas GRU path reproduces the reference BED exactly.
+    """The fused Pallas recurrence reproduces the reference BED exactly.
 
     This is the evidence behind ``resolve_rnn_kernel``'s "auto" policy
     enabling the fused kernel for float32 GRU inference on TPU: the
