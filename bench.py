@@ -57,7 +57,17 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure_tpu(codes: np.ndarray, precision: str = "float32") -> float:
+def _elapsed_stats(times) -> dict:
+    """best/median/worst seconds — the spread carries the link-weather
+    context the single best-of number loses."""
+    times = sorted(times)
+    return {"best_s": round(times[0], 4),
+            "median_s": round(times[len(times) // 2], 4),
+            "worst_s": round(times[-1], 4)}
+
+
+def measure_tpu(codes: np.ndarray, precision: str = "float32") -> tuple:
+    """(windows/s best, stats dict) for the full production e2e path."""
     import jax
     import jax.numpy as jnp
 
@@ -76,24 +86,136 @@ def measure_tpu(codes: np.ndarray, precision: str = "float32") -> float:
     def run():
         # The full production FASTA->classes path: compact codes
         # host->device, device one-hot expansion + chunk-scan forward +
-        # overlap-max merge + device argmax/max, scored arrays
-        # device->host, multithreaded C++ Ruzzo-Tompa MSS.  (--device-mss
-        # exists for transfer-starved links, but an untrained model's
-        # noisy score track has ~L/10 positive runs, which serializes the
-        # on-chip candidate scan — the host MT MSS is the fast default.)
+        # overlap-max merge + device argmax/max, then the auto MSS route
+        # (an untrained model's noisy score track has ~L/10 positive runs,
+        # so auto picks the packed fetch + multithreaded C++ Ruzzo-Tompa
+        # host MSS; see measure_trained for the sparse-track device route).
         return predict_sequence(model, params, codes, options, STEP,
                                 use_mss=True, engine=engine)
 
     run()  # warmup/compile with the exact static shapes of the timed run
     # Best of 3: the tunneled link to the chip has transient multi-second
     # stalls; min elapsed reflects the pipeline, not tunnel weather.
-    elapsed = float("inf")
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         classes = run()
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     assert classes.shape[0] == codes.shape[-1]
-    return n_windows / elapsed
+    return n_windows / min(times), _elapsed_stats(times)
+
+
+def measure_device_only(codes: np.ndarray, precision: str) -> tuple:
+    """(windows/s, stats) for the chunk-scan alone: on-device reduction
+    sink, no d2h beyond one scalar — the compute ceiling the transfer
+    path is hiding (VERDICT r3: separate device throughput from link
+    throughput so the headline number isn't hostage to tunnel weather)."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    from deepgrp_tpu.predict.engine import PredictionEngine, window_starts
+
+    options, model = flagship()
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    engine = PredictionEngine(model, batch_size=BATCH, step_size=STEP,
+                              compute_dtype=dtype)
+    n_windows = window_starts(codes.shape[-1], options.vecsize, STEP).size
+    return measure_device_only_with(engine, params, codes, n_windows)
+
+
+def measure_trained(precision: str = "float32") -> dict:
+    """Trained-weights chromosome scan: the sparse-track production case.
+
+    Loads the reference-trained flagship fixture (gru_att.h5) and scans a
+    repeat-rich synthetic chromosome (tests/synth_mbp.py recipe).  A
+    trained model's score track is sparse (measured ~0.1% runs/bp), so
+    the auto MSS route keeps the Ruzzo-Tompa on chip and transfers 1 B/bp
+    — this records the e2e number that route buys, alongside the pure
+    device-compute time of the same scan for the e2e/compute ratio.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import synth_mbp
+
+    from deepgrp_tpu.models.keras_io import load_model
+    from deepgrp_tpu.models.model import DeepGRPModel
+    from deepgrp_tpu.ops.encoding import encode_codes_trimmed
+    from deepgrp_tpu.predict.engine import PredictionEngine, window_starts
+    from deepgrp_tpu.predict.postprocess import (_auto_max_runs,
+                                                 predict_sequence)
+
+    h5 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests",
+                      "fixtures", "reference", "gru_att.h5")
+    config, params = load_model(h5)
+    model = DeepGRPModel(config)
+    params = jax.device_put(params)
+    n_win_target = (SEQ_LEN - config.vecsize) // STEP + 1
+    seq = synth_mbp.make_mbp_sequence(7, n_win_target)
+    _, codes = encode_codes_trimmed(seq)
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    engine = PredictionEngine(model, batch_size=BATCH, step_size=STEP,
+                              compute_dtype=dtype)
+    from deepgrp_tpu.config import Options
+
+    options = Options(vecsize=config.vecsize)
+    n_windows = window_starts(codes.shape[-1], config.vecsize, STEP).size
+
+    track = engine.scored_tracks(params, codes)
+    runs = track.count_runs()
+    del track
+
+    def run():
+        return predict_sequence(model, params, codes, options, STEP,
+                                use_mss=True, engine=engine,
+                                device_mss="auto")
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        classes = run()
+        times.append(time.perf_counter() - t0)
+    assert classes.shape[0] == codes.shape[-1]
+
+    dev_wps, dev_stats = measure_device_only_with(engine, params, codes,
+                                                  n_windows)
+    e2e = min(times)
+    return {
+        "windows_per_sec": round(n_windows / e2e, 1),
+        "e2e": _elapsed_stats(times),
+        "device_only_windows_per_sec": round(dev_wps, 1),
+        "device_only": dev_stats,
+        "e2e_over_device_compute": round(e2e * dev_wps / n_windows, 2),
+        "score_track_positive_runs": int(runs),
+        "mss_route": ("device" if runs <= _auto_max_runs() else "host"),
+    }
+
+
+def measure_device_only_with(engine, params, codes, n_windows) -> tuple:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def sink(classes, maxp):
+        return jnp.sum(maxp) + jnp.sum(classes.astype(jnp.float32))
+
+    def run():
+        classes, maxp, _ = engine.predict_scored_device(params, codes)
+        return float(sink(classes, maxp))
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return n_windows / min(times), _elapsed_stats(times)
 
 
 def measure_train(codes: np.ndarray) -> float:
@@ -299,21 +421,43 @@ def main() -> None:
     baseline = get_baseline()
     base_wps = float(baseline["windows_per_sec_cpu_reference"])
     _phase("tpu float32")
-    throughput = measure_tpu(codes)
-    _phase(f"tpu float32 done: {throughput:.0f} w/s; tpu bfloat16")
-    throughput_bf16 = measure_tpu(codes, precision="bfloat16")
-    _phase(f"tpu bfloat16 done: {throughput_bf16:.0f} w/s; train")
+    throughput, f32_stats = measure_tpu(codes)
+    _phase(f"tpu float32 done: {throughput:.0f} w/s; device-only f32")
+    dev_f32, dev_f32_stats = measure_device_only(codes, "float32")
+    _phase(f"device-only f32: {dev_f32:.0f} w/s; tpu bfloat16")
+    throughput_bf16, bf16_stats = measure_tpu(codes, precision="bfloat16")
+    _phase(f"tpu bfloat16 done: {throughput_bf16:.0f} w/s; device-only bf16")
+    dev_bf16, dev_bf16_stats = measure_device_only(codes, "bfloat16")
+    _phase(f"device-only bf16: {dev_bf16:.0f} w/s; trained scan")
+    trained = measure_trained()
+    _phase(f"trained auto: {trained['windows_per_sec']:.0f} w/s "
+           f"({trained['mss_route']} MSS, "
+           f"{trained['score_track_positive_runs']} runs); train")
     train_sps = measure_train(codes)
     _phase(f"train done: {train_sps:.1f} steps/s; f32 re-measure")
     # The tunneled link has multi-minute slow phases; a second f32 pass
     # minutes after the first (everything compiled by now) samples
-    # different link weather — keep the best, as for reps within a pass.
-    throughput = max(throughput, measure_tpu(codes))
+    # different link weather — keep the best, as for reps within a pass;
+    # the per-phase best/median/worst stats carry the spread.
+    throughput2, f32_stats2 = measure_tpu(codes)
+    if throughput2 > throughput:
+        throughput = throughput2
     _phase(f"f32 best: {throughput:.0f} w/s")
     base_train = baseline.get("train_steps_per_sec_cpu_reference")
     extra = {
         "windows_per_sec_bfloat16": round(throughput_bf16, 1),
         "bfloat16_vs_baseline": round(throughput_bf16 / base_wps, 2),
+        # Compute-only throughput (on-device sink, no d2h): robust to
+        # tunnel weather; the clean f32-vs-bf16 comparison lives here.
+        "device_only_windows_per_sec": round(dev_f32, 1),
+        "device_only_windows_per_sec_bfloat16": round(dev_bf16, 1),
+        "device_only_stats": {"float32": dev_f32_stats,
+                              "bfloat16": dev_bf16_stats},
+        "e2e_stats": {"float32_pass1": f32_stats,
+                      "float32_pass2": f32_stats2,
+                      "bfloat16": bf16_stats},
+        # Trained-weights scan (sparse score track -> device-MSS route).
+        "trained_scan": trained,
         "train_steps_per_sec": round(train_sps, 2),
         "train_vs_baseline": (round(train_sps / base_train, 2)
                               if base_train else None),

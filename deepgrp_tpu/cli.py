@@ -71,9 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--rnn-kernel", choices=["auto", "scan", "fused"],
                         default="auto",
                         help="Recurrence implementation: 'scan' (XLA), "
-                        "'fused' (Pallas fwd+revcomp GRU kernel; bitwise "
-                        "reference parity in float32), 'auto' (fused for "
-                        "GRU on TPU, scan elsewhere)")
+                        "'fused' (Pallas fwd+revcomp recurrence kernel; "
+                        "bitwise reference parity in float32), 'auto' "
+                        "(fused on TPU, scan elsewhere)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="Multi-host launch: jax.distributed "
+                        "coordinator address (pair with --num-processes "
+                        "and --process-id; on TPU pods all three usually "
+                        "come from the environment)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Multi-host launch: total process count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="Multi-host launch: this process's rank")
 
     subparsers = parser.add_subparsers(help="sub-command help",
                                        dest="command")
@@ -124,10 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
     predict.add_argument("--mesh", choices=["auto", "off"], default="auto",
                          help="Shard the window stream across all visible "
                          "devices (auto: when more than one device)")
-    predict.add_argument("--device-mss", action="store_true",
-                         help="Run the MSS post-processing on device too "
-                         "(all-on-chip path; only class labels are "
-                         "transferred). Single-device engine only.")
+    predict.add_argument("--device-mss", nargs="?", const="on",
+                         choices=["auto", "on", "off"], default="auto",
+                         help="MSS post-processing placement: 'auto' "
+                         "(default) keeps the MSS on chip when the score "
+                         "track is sparse (trained models) so only class "
+                         "labels are transferred, and falls back to the "
+                         "pipelined host MSS for noisy tracks; 'on'/'off' "
+                         "force a path")
     return parser
 
 
@@ -135,6 +149,35 @@ def set_logging(verbose: int) -> None:
     loglevels = [logging.WARNING, logging.INFO, logging.DEBUG]
     logging.basicConfig()
     _LOG.setLevel(loglevels[min(len(loglevels) - 1, verbose)])
+
+
+def setup_distributed(args: argparse.Namespace) -> None:
+    """Join a multi-host job when any launch flag is given.
+
+    Calls ``parallel.mesh.initialize_distributed`` (which RAISES on real
+    init failures — a job cannot silently degrade to single-host) before
+    any jax backend use, so ``jax.devices()`` sees the whole pod and the
+    ``--mesh auto`` engines shard globally.  SURVEY §7 step 6 / north-star
+    "N>=2 hosts"; the reference CLI is single-process
+    (__main__.py:221-233).
+    """
+    if (args.coordinator is None and args.num_processes is None
+            and args.process_id is None):
+        return
+    from deepgrp_tpu.parallel.mesh import initialize_distributed
+
+    kwargs = {}
+    if args.coordinator is not None:
+        kwargs["coordinator_address"] = args.coordinator
+    if args.num_processes is not None:
+        kwargs["num_processes"] = args.num_processes
+    if args.process_id is not None:
+        kwargs["process_id"] = args.process_id
+    initialize_distributed(**kwargs)
+    import jax
+
+    _LOG.info("joined distributed job: process %d/%d, %d global devices",
+              jax.process_index(), jax.process_count(), len(jax.devices()))
 
 
 def setup_runtime(threads: int) -> None:
@@ -225,7 +268,13 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
                                   compute_dtype=dtype,
                                   rnn_kernel=args.rnn_kernel)
 
-    outstream = sys.stdout if args.output == "-" else open(args.output, "w")
+    # Multi-host: every process computes (the sharded engine all-gathers
+    # results), but only process 0 emits the BED stream.
+    if jax.process_index() == 0:
+        outstream = (sys.stdout if args.output == "-"
+                     else open(args.output, "w"))
+    else:
+        outstream = open(os.devnull, "w")
     try:
         for filename in args.FASTA:
             _LOG.info("Processing %s", filename)
@@ -236,10 +285,12 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
                     # 5x less HBM; both engines expand to one-hot on
                     # device per chunk.
                     startpos, onehot = encode_codes_trimmed(dnasequence)
+                    device_mss = {"on": True, "off": False}.get(
+                        getattr(args, "device_mss", "auto"), "auto")
                     predictions = predict_sequence(
                         model, params, onehot, options, args.step_size,
                         use_mss=not args.no_use_mss, engine=engine,
-                        device_mss=getattr(args, "device_mss", False))
+                        device_mss=device_mss)
                     for segment in yield_segments(predictions, startpos):
                         if segment[2] > 0:
                             outstream.write("{}\t{}\t{}\t{}\t{}\n".format(
@@ -248,7 +299,7 @@ def cmd_predict(args: argparse.Namespace, options) -> None:
                 if filename != "-":
                     filestream.close()
     finally:
-        if args.output != "-":
+        if outstream is not sys.stdout:
             outstream.close()
         _stop_profile(args)
 
@@ -335,6 +386,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         parser.print_help()
         sys.exit(2)
     set_logging(args.verbose)
+    setup_distributed(args)
     setup_runtime(args.threads)
     options = options_from_args(args)
     if args.command == "train":

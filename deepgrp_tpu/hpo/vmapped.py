@@ -69,15 +69,22 @@ def stack_trial_hyperparams(base: Options,
 @partial(jax.jit, static_argnames=("model", "optimizer_name", "sampler_static",
                                    "vecsize"),
          donate_argnums=(0, 1))
-def _parallel_step(params, opt_states, hp, keys, fwd, lbl, candidates,
-                   lengths, sampler_static, model: DeepGRPModel,
-                   optimizer_name: str, vecsize: int):
+def _parallel_step(params, opt_states, hp, keys, active, fwd, lbl,
+                   candidates, lengths, sampler_static,
+                   model: DeepGRPModel, optimizer_name: str, vecsize: int):
+    """One fleet step; trials with ``active=False`` are frozen.
+
+    Inactive (early-stopped) trials still ride the vmap lockstep — the
+    SIMD fleet cannot shrink mid-run — but their parameter updates are
+    masked to zero, so their weights stay exactly at the stopping point
+    (reference per-trial early-stop semantics, training.py:33-38).
+    """
     from deepgrp_tpu.train import sampler as sampler_lib
 
     optimizer = _injected_optimizer(optimizer_name)
     n_sampled, ocs, batch, seq_len = sampler_static
 
-    def one_trial(params, opt_state, hp, key):
+    def one_trial(params, opt_state, hp, key, active):
         key_sample, key_dropout = jax.random.split(key)
         starts = sampler_lib._sample_starts(key_sample, candidates, lengths,
                                             n_sampled, ocs, batch, seq_len,
@@ -99,10 +106,11 @@ def _parallel_step(params, opt_states, hp, keys, fwd, lbl, candidates,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         opt_state = _set_hyperparams(opt_state, optimizer_name, hp)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: jnp.where(active, u, 0), updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.vmap(one_trial)(params, opt_states, hp, keys)
+    return jax.vmap(one_trial)(params, opt_states, hp, keys, active)
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -121,9 +129,12 @@ def run_parallel_trials(base_options: Options,
     """Train every trial simultaneously; returns per-trial results.
 
     Each result: ``{"val_loss": best, "val_history": [...], "params": best
-    pytree (host)}``.  Early stopping is emulated per-trial by tracking the
-    best validation epoch (compute still runs all epochs — the fleet
-    advances in lockstep).
+    pytree (host), "stopped_epoch": last active epoch}``.  Early stopping
+    is per-trial: a trial whose patience is exhausted is FROZEN (its
+    updates are masked to zero on device, so its weights stop moving and
+    later validation noise records no spurious improvements), and the
+    fleet loop exits as soon as every trial is frozen.  Per improvement
+    epoch only the improved trials' parameter slices are fetched.
     """
     n_trials = len(trial_dicts)
     if n_trials == 0:
@@ -153,36 +164,53 @@ def run_parallel_trials(base_options: Options,
                       train_sampler.batch_size, train_sampler.seq_len)
 
     best_val = np.full(n_trials, np.inf)
-    best_params = jax.device_get(params)
+    # Writable host copies (device_get may return read-only views): the
+    # improvement scatter updates trial slices in place.
+    best_params = jax.tree.map(np.array, jax.device_get(params))
     history: List[np.ndarray] = []
+    patience = options.early_stopping_th
+    since_best = np.zeros(n_trials, np.int32)
+    stopped_epoch = np.full(n_trials, 0, np.int64)
 
-    for _ in range(options.n_epochs):
+    for epoch in range(1, options.n_epochs + 1):
+        active_h = since_best < patience
+        active = jnp.asarray(active_h)
         for _ in range(options.n_batches):
             key, step_key = jax.random.split(key)
             step_keys = jax.random.split(step_key, n_trials)
             params, opt_states, _ = _parallel_step(
-                params, opt_states, hp, step_keys, train_sampler._fwd,
-                train_sampler._lbl, train_sampler._candidates,
-                train_sampler._lengths, sampler_static, model,
-                str(options.optimizer), int(options.vecsize))
+                params, opt_states, hp, step_keys, active,
+                train_sampler._fwd, train_sampler._lbl,
+                train_sampler._candidates, train_sampler._lengths,
+                sampler_static, model, str(options.optimizer),
+                int(options.vecsize))
         key, val_key = jax.random.split(key)
         val_x, val_y = val_sampler.batch(val_key)
         val_losses = np.asarray(_parallel_eval(params, val_x, val_y, model))
         history.append(val_losses)
-        improved = val_losses < best_val
+        # Frozen trials record no further improvements (their params no
+        # longer move; apparent gains would be validation-batch noise).
+        improved = (val_losses < best_val) & active_h
+        since_best = np.where(improved, 0, since_best + active_h)
+        stopped_epoch = np.where(active_h, epoch, stopped_epoch)
         if improved.any():
-            host_params = jax.device_get(params)
+            # Fetch ONLY the improved trials' parameter slices (a device
+            # gather + subset transfer, not the whole fleet — the fleet
+            # pytree is large and the link may be slow).
+            idx = np.nonzero(improved)[0]
+            idx_d = jnp.asarray(idx)
+            sub = jax.device_get(
+                jax.tree.map(lambda a: a[idx_d], params))
             best_val = np.where(improved, val_losses, best_val)
-            best_params = jax.tree.map(
-                lambda b, n: np.where(
-                    improved.reshape((-1,) + (1,) * (b.ndim - 1)), n, b),
-                best_params, host_params)
-        # stop when every trial has exhausted its patience
-        patience = options.early_stopping_th
-        if len(history) > patience:
-            recent = np.stack(history[-patience:])
-            if (recent.min(axis=0) > best_val).all():
-                break
+
+            def scatter(b, s):
+                b[idx] = s
+                return b
+
+            best_params = jax.tree.map(scatter, best_params, sub)
+        # Stop when every trial has exhausted its patience.
+        if not (since_best < patience).any():
+            break
 
     stacked_history = np.stack(history)
     results = []
@@ -193,6 +221,7 @@ def run_parallel_trials(base_options: Options,
             "val_loss": float(best_val[i]),
             "val_history": stacked_history[:, i].tolist(),
             "params": trial_params,
+            "stopped_epoch": int(stopped_epoch[i]),
         })
     return results
 

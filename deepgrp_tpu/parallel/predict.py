@@ -38,7 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepgrp_tpu.models.model import DeepGRPModel
 from deepgrp_tpu.parallel.mesh import DATA_AXIS
-from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, _unpack_scored,
+from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, ScoredTrack,
+                                        _unpack_scored, mss_score_transform,
                                         scan_chunk_range, window_starts)
 
 
@@ -146,6 +147,54 @@ def _expand_code_shards(codes, mesh: Mesh, n_blocks: int, step: int):
                           in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
                           check_vma=False)
     return shard(codes)
+
+
+@partial(jax.jit, static_argnames=("rows", "n_dev", "mesh"))
+def _assemble_scored_sharded(packed_slices, heads, tails, rows: int,
+                             n_dev: int, mesh: Mesh):
+    """Device-side assembly of the full ``(classes, maxp)`` track from the
+    sharded packed slices, INCLUDING the shard-boundary correction (each
+    region head max-combined with the left neighbor's final spill — the
+    same math as ``_boundary_merge``, here as plain array ops since the
+    whole track is being assembled anyway) and the global tail (the last
+    device's spill).  Bit-identical to the single-device
+    ``_assemble_scored_slices`` track over the same windows.
+    """
+    cls_parts = []
+    maxp_parts = []
+    for p in packed_slices:
+        maxp_parts.append(jax.lax.bitcast_convert_type(
+            p[:, :4 * rows].reshape(n_dev, rows, 4), jnp.float32))
+        cls_parts.append(jax.lax.bitcast_convert_type(p[:, 4 * rows:],
+                                                      jnp.int8))
+    classes = jnp.concatenate(cls_parts, axis=1).reshape(-1)
+    maxp = jnp.concatenate(maxp_parts, axis=1).reshape(-1)
+    region_rows = classes.shape[0] // n_dev
+    overlap = tails.shape[1]
+    if overlap and heads is not None and n_dev > 1:
+        combined = jnp.maximum(heads[1:], tails[:-1])
+        cls_b = combined.argmax(-1).astype(jnp.int8).reshape(-1)
+        maxp_b = combined.max(-1).reshape(-1)
+        # Region-head rows of devices 1..n-1 are the only in-scan values
+        # not final at a shard boundary; overwrite them with the combined
+        # scores via one scatter over the stacked row indices.
+        idx = (jnp.arange(1, n_dev)[:, None] * region_rows +
+               jnp.arange(overlap)[None, :]).reshape(-1)
+        classes = classes.at[idx].set(cls_b)
+        maxp = maxp.at[idx].set(maxp_b)
+    if overlap:
+        tail = tails[-1]
+        classes = jnp.concatenate([classes,
+                                   tail.argmax(-1).astype(jnp.int8)])
+        maxp = jnp.concatenate([maxp, tail.max(-1)])
+    # Replicate the assembled track (an all-gather over ICI): the
+    # downstream MSS is a sequential while-loop — running it over a
+    # SHARDED array would drag a collective into every iteration (on the
+    # CPU test mesh that live-locks outright); replicated inputs make
+    # every device run the identical sequential program collective-free.
+    replicated = NamedSharding(mesh, P())
+    return (jax.lax.with_sharding_constraint(classes, replicated),
+            jax.lax.with_sharding_constraint(maxp, replicated))
 
 
 class ShardedPredictionEngine:
@@ -339,6 +388,47 @@ class ShardedPredictionEngine:
                 np.maximum(out[lo:hi], tails[d, :hi - lo], out=out[lo:hi])
         return out
 
+    def scored_tracks(self, params,
+                      seq_repr: np.ndarray) -> Optional[ScoredTrack]:
+        """Dispatch the sharded sliced scored scan; return the route
+        handle (same contract as ``PredictionEngine.scored_tracks``)."""
+        out_len = seq_repr.shape[-1]
+        n_windows, chunks_per_dev, slice_chunks = self._plan(out_len)
+        if n_windows == 0:
+            return None
+        slices, heads, tails, rows_per_slice = self._run_sliced(
+            params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
+            score=True)
+        state = (slices, heads, tails, rows_per_slice, chunks_per_dev)
+        return ScoredTrack(self, state, out_len)
+
+    def device_route_ok(self) -> bool:
+        """The on-device assembly/MSS route needs every shard addressable
+        from this process (multi-host runs keep the host MSS route)."""
+        return jax.process_count() == 1
+
+    def _assemble_scored(self, state):
+        slices, heads, tails, rows_per_slice, _ = state
+        return _assemble_scored_sharded(tuple(s[0] for s in slices), heads,
+                                        tails, rows_per_slice,
+                                        self.n_devices, self.mesh)
+
+    def predict_scored_device(self, params, seq_repr: np.ndarray):
+        """Device-resident scored track ``(classes, maxp, rows)`` — the
+        sharded counterpart of ``PredictionEngine.predict_scored_device``
+        (feeds ``predict.postprocess.apply_mss_on_device``)."""
+        track = self.scored_tracks(params, seq_repr)
+        if track is None:
+            return None, None, 0
+        classes, maxp = track.device()
+        return classes, maxp, min(seq_repr.shape[-1], classes.shape[0])
+
+    def _mss_scores_from_state(self, state, out_len: int
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        classes, scores = self._fetch_scored_state(state, out_len,
+                                                   transform=True)
+        return classes, scores
+
     def predict_scored(self, params, seq_repr: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Per-position ``(classes int8 [L], max_prob float32 [L])``.
@@ -348,14 +438,43 @@ class ShardedPredictionEngine:
         genome-length f32 array exists anywhere.
         """
         out_len = seq_repr.shape[-1]
-        n_windows, chunks_per_dev, slice_chunks = self._plan(out_len)
+        track = self.scored_tracks(params, seq_repr)
+        if track is None:
+            return np.zeros(out_len, np.int8), np.zeros(out_len, np.float32)
+        return self._fetch_scored_state(track._state, out_len,
+                                        transform=False)
+
+    def _fetch_scored_state(self, state, out_len: int, transform: bool
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch + place the packed scored slices of a dispatched scan.
+
+        ``transform=False`` returns ``(classes, max_prob)``;
+        ``transform=True`` applies the reference MSS score transform
+        inside the fetch workers (bit-identical to transforming the
+        ``transform=False`` outputs whole-array — the transform is
+        elementwise float32) and returns ``(classes, scores)`` with
+        uncovered rows at the zero-probability fill.
+        """
+        slices, heads, tails, rows_per_slice, chunks_per_dev = state
         out_classes = np.zeros(out_len, np.int8)
-        out_maxp = np.zeros(out_len, np.float32)
-        if n_windows == 0:
-            return out_classes, out_maxp
-        slices, heads, tails, rows_per_slice = self._run_sliced(
-            params, seq_repr, n_windows, chunks_per_dev, slice_chunks,
-            score=True)
+        if transform:
+            out_vals = np.empty(out_len, np.float32)
+            out_vals[:] = mss_score_transform(np.zeros(1, np.int8),
+                                              np.zeros(1, np.float32))[0]
+        else:
+            out_vals = np.zeros(out_len, np.float32)
+
+        def place(lo: int, cls: np.ndarray, maxp: np.ndarray) -> None:
+            hi = min(lo + cls.shape[0], out_len)
+            if hi <= lo:
+                return
+            out_classes[lo:hi] = cls[:hi - lo]
+            if transform:
+                out_vals[lo:hi] = mss_score_transform(cls[:hi - lo],
+                                                      maxp[:hi - lo])
+            else:
+                out_vals[lo:hi] = maxp[:hi - lo]
+
         region_rows = chunks_per_dev * self.batch_size * self.step_size
         boundary = None
         if self.collective and self._overlap > 0 and heads is not None:
@@ -365,41 +484,43 @@ class ShardedPredictionEngine:
                                             score=True)
             boundary = (_fetch(cls_b), _fetch(maxp_b))
         if jax.process_count() == 1:
-            # Concurrent packed fetches (round-trip overheads overlap).
-            # Multi-process stays sequential: process_allgather is a
-            # collective and must execute in the same order everywhere.
+            # Concurrent packed fetches (round-trip overheads overlap);
+            # the transform (when requested) runs inside the workers so
+            # its cost rides behind the other slices' transfers.
             from concurrent.futures import ThreadPoolExecutor
 
+            def fetch(i):
+                packed_s = np.asarray(slices[i][0])
+                for d in range(self.n_devices):
+                    classes_s, maxp_s = _unpack_scored(packed_s[d],
+                                                       rows_per_slice)
+                    place(d * region_rows + i * rows_per_slice,
+                          classes_s, maxp_s)
+
             with ThreadPoolExecutor(min(len(slices), 8)) as ex:
-                fetched = list(ex.map(lambda s: np.asarray(s[0]), slices))
+                list(ex.map(fetch, range(len(slices))))
         else:
-            fetched = [_fetch(s[0]) for s in slices]
+            # Multi-process stays sequential: process_allgather is a
+            # collective and must execute in the same order everywhere.
+            for i in range(len(slices)):
+                packed_s = _fetch(slices[i][0])
+                for d in range(self.n_devices):
+                    classes_s, maxp_s = _unpack_scored(packed_s[d],
+                                                       rows_per_slice)
+                    place(d * region_rows + i * rows_per_slice,
+                          classes_s, maxp_s)
         del slices  # free the device buffers
-        for i, packed_s in enumerate(fetched):
-            for d in range(self.n_devices):
-                classes_s, maxp_s = _unpack_scored(packed_s[d],
-                                                   rows_per_slice)
-                lo = d * region_rows + i * rows_per_slice
-                take = min(out_len - lo, rows_per_slice)
-                if take > 0:
-                    out_classes[lo:lo + take] = classes_s[:take]
-                    out_maxp[lo:lo + take] = maxp_s[:take]
         if boundary is not None:
             cls_b, maxp_b = boundary
             for d in range(1, self.n_devices):
-                lo = d * region_rows
-                hi = min(lo + self._overlap, out_len)
-                if hi > lo:
-                    out_classes[lo:hi] = cls_b[d, :hi - lo]
-                    out_maxp[lo:hi] = maxp_b[d, :hi - lo]
+                place(d * region_rows, cls_b[d, :self._overlap],
+                      maxp_b[d, :self._overlap])
             # Global tail: the last device's spill, scored on host.
             tail_last = _fetch(tails)[-1]
-            lo = self.n_devices * region_rows
-            hi = min(lo + self._overlap, out_len)
-            if hi > lo:
-                out_classes[lo:hi] = tail_last[:hi - lo].argmax(axis=1)
-                out_maxp[lo:hi] = tail_last[:hi - lo].max(axis=1)
-            return out_classes, out_maxp
+            place(self.n_devices * region_rows,
+                  tail_last.argmax(axis=1).astype(np.int8),
+                  tail_last.max(axis=1).astype(np.float32))
+            return out_classes, out_vals
         # Host fallback: re-score region heads after combining the left
         # neighbor's spill; the last device's spill scores the global tail.
         tails = _fetch(tails)
@@ -412,6 +533,6 @@ class ShardedPredictionEngine:
             combined = tails[d, :hi - lo]
             if d + 1 < self.n_devices and heads is not None:
                 combined = np.maximum(combined, heads[d + 1, :hi - lo])
-            out_classes[lo:hi] = combined.argmax(axis=1)
-            out_maxp[lo:hi] = combined.max(axis=1)
-        return out_classes, out_maxp
+            place(lo, combined.argmax(axis=1).astype(np.int8),
+                  combined.max(axis=1).astype(np.float32))
+        return out_classes, out_vals

@@ -209,6 +209,80 @@ def _unpack_scored(packed: np.ndarray,
     return classes, maxp
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def _assemble_scored_slices(packed_slices, spill, rows: int):
+    """Device-side inverse of the ``_scan_slice`` scored packing over all
+    slices: one ``(classes int8 [total], maxp f32 [total])`` pair with the
+    final spill rows scored and appended — the same track
+    ``_scan_predict(score=True)`` produces, but built from the *already
+    dispatched* pipeline slices, so the auto device-MSS route never
+    recomputes the model forward.
+    """
+    classes = jnp.concatenate([
+        jax.lax.bitcast_convert_type(p[4 * rows:], jnp.int8)
+        for p in packed_slices
+    ])
+    maxp = jnp.concatenate([
+        jax.lax.bitcast_convert_type(p[:4 * rows].reshape(rows, 4),
+                                     jnp.float32) for p in packed_slices
+    ])
+    if spill.shape[0]:
+        classes = jnp.concatenate(
+            [classes, spill.argmax(axis=1).astype(jnp.int8)])
+        maxp = jnp.concatenate([maxp, spill.max(axis=1)])
+    return classes, maxp
+
+
+class ScoredTrack:
+    """Handle over a dispatched scored scan: both post-processing routes.
+
+    Produced by ``PredictionEngine.scored_tracks`` /
+    ``ShardedPredictionEngine.scored_tracks`` after the sliced scored scan
+    has been dispatched (compute is already running when the handle is
+    returned).  The caller picks a route:
+
+      * :meth:`device` — assemble the ``(classes, maxp)`` track ON DEVICE
+        from the packed slices (feeds the all-on-chip MSS; only the final
+        class array crosses to the host).
+      * :meth:`host_mss_scores` — fetch the packed slices concurrently and
+        apply the MSS score transform inside the fetch workers (feeds the
+        multithreaded host MSS).
+
+    :meth:`count_runs` (one scalar fetch) gives the positive-run count of
+    the transformed score track — the routing signal: Ruzzo–Tompa's
+    sequential candidate scan is O(runs), so a sparse (trained-model)
+    track is cheap on device while a noisy one is better fetched.
+    """
+
+    def __init__(self, engine, state, out_len: int):
+        self._engine = engine
+        self._state = state
+        self._out_len = out_len
+        self._assembled = None
+
+    @property
+    def out_len(self) -> int:
+        return self._out_len
+
+    def device(self):
+        """Assembled device-resident ``(classes int8, maxp f32)``."""
+        if self._assembled is None:
+            self._assembled = self._engine._assemble_scored(self._state)
+        return self._assembled
+
+    def count_runs(self) -> int:
+        """Positive-run count of the score track (one scalar fetch)."""
+        from deepgrp_tpu.predict.postprocess import _scored_run_count
+
+        classes, maxp = self.device()
+        return _scored_run_count(classes, maxp, jnp.int32(self._out_len))
+
+    def host_mss_scores(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch + transform route: ``(classes int8 [L], scores f32 [L])``."""
+        return self._engine._mss_scores_from_state(self._state,
+                                                   self._out_len)
+
+
 def mss_score_transform(classes: np.ndarray,
                         maxp: np.ndarray) -> np.ndarray:
     """The reference MSS score transform (prediction.py:51-57), float32.
@@ -471,6 +545,29 @@ class PredictionEngine:
             out_maxp[pos:hi] = spill_h[:hi - pos].max(axis=1)
         return out_classes, out_maxp
 
+    def scored_tracks(self, params,
+                      onehot: np.ndarray) -> Optional[ScoredTrack]:
+        """Dispatch the sliced scored scan; return the route handle.
+
+        Returns ``None`` when the sequence yields zero windows (callers
+        keep the reference's all-zero-buffer quirk).  Compute is already
+        enqueued when this returns; the handle's route methods only decide
+        what crosses the link (see :class:`ScoredTrack`).
+        """
+        out_len = onehot.shape[-1]
+        n_windows = window_starts(out_len, self.model.config.vecsize,
+                                  self.step_size).size
+        if n_windows == 0:
+            return None
+        slices, spill, rows_per_slice = self._dispatch_slices(
+            params, onehot, n_windows, score=True)
+        return ScoredTrack(self, (slices, spill, rows_per_slice), out_len)
+
+    def _assemble_scored(self, state):
+        slices, spill, rows_per_slice = state
+        return _assemble_scored_slices(tuple(s[0] for s in slices), spill,
+                                       rows_per_slice)
+
     def predict_mss_scores(self, params, onehot: np.ndarray
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Per-position ``(classes int8 [L], MSS scores float32 [L])``.
@@ -483,19 +580,24 @@ class PredictionEngine:
         whole-array (the transform is elementwise float32).
         """
         out_len = onehot.shape[-1]
-        n_windows = window_starts(out_len, self.model.config.vecsize,
-                                  self.step_size).size
+        track = self.scored_tracks(params, onehot)
+        if track is None:
+            out_classes = np.zeros(out_len, np.int8)
+            out_scores = np.empty(out_len, np.float32)
+            # Uncovered rows are zero-probability background (reference
+            # prediction.py:90 zeros): constant positive score.
+            out_scores[:] = mss_score_transform(np.zeros(1, np.int8),
+                                                np.zeros(1, np.float32))[0]
+            return out_classes, out_scores
+        return track.host_mss_scores()
+
+    def _mss_scores_from_state(self, state, out_len: int
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        slices, spill, rows_per_slice = state
         out_classes = np.zeros(out_len, np.int8)
         out_scores = np.empty(out_len, np.float32)
-        # Uncovered rows are zero-probability background (reference
-        # prediction.py:90 zeros): constant positive score.
         zero_fill = mss_score_transform(np.zeros(1, np.int8),
                                         np.zeros(1, np.float32))[0]
-        if n_windows == 0:
-            out_scores[:] = zero_fill
-            return out_classes, out_scores
-        slices, spill, rows_per_slice = self._dispatch_slices(
-            params, onehot, n_windows, score=True)
         from concurrent.futures import ThreadPoolExecutor
 
         def fetch(i):

@@ -54,14 +54,16 @@ def apply_mss_scored(classes: np.ndarray, maxp: np.ndarray,
 
 
 def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
-                        out_len: int) -> np.ndarray:
+                        out_len: int,
+                        runs: Optional[int] = None) -> np.ndarray:
     """All-on-chip ``apply_mss``: device scored arrays -> MSS classes.
 
     The score transform, Ruzzo-Tompa segment search, and majority-vote
     labeling all run under jit (``ops.mss_device``); only the final
     per-position int32 class array crosses to the host.  Capacity for the
-    positive-run stack is sized from the data (power-of-two buckets to
-    bound recompiles) with an overflow-doubling retry.
+    positive-run stack is sized from the data (``runs`` skips the on-device
+    recount when the caller already fetched it; power-of-two buckets bound
+    recompiles) with an overflow-doubling retry.
     """
     import jax.numpy as jnp
 
@@ -76,7 +78,8 @@ def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
             [classes, jnp.zeros((pad,), classes.dtype)])
         maxp = jnp.concatenate([maxp, jnp.zeros((pad,), maxp.dtype)])
     out_len_t = jnp.int32(out_len)
-    runs = _scored_run_count(classes, maxp, out_len_t)
+    if runs is None:
+        runs = _scored_run_count(classes, maxp, out_len_t)
     max_runs = max(64, 1 << int(max(int(runs), 1)).bit_length())
     while True:
         assigned, overflow = mss_device.mss_classes_from_scored(
@@ -116,35 +119,91 @@ def softmax(array: np.ndarray) -> np.ndarray:
     return e_x / e_x.sum(axis=1, keepdims=True)
 
 
+# Auto device-MSS routing threshold: run the all-on-chip MSS when the
+# score track has at most this many positive runs.  Ruzzo-Tompa's
+# candidate scan is O(runs) sequential on device, so sparse trained-model
+# tracks (measured fixtures: ~0.1-4% runs/bp) stay on chip — transferring
+# 1 B/bp instead of 5 B/bp — while a noisy (untrained) track routes to the
+# pipelined fetch + multithreaded host MSS.  Override with the
+# DEEPGRP_DEVICE_MSS_MAX_RUNS environment variable.
+DEVICE_MSS_AUTO_MAX_RUNS = 16384
+
+
+def _auto_max_runs() -> int:
+    import os
+
+    return int(os.environ.get("DEEPGRP_DEVICE_MSS_MAX_RUNS",
+                              DEVICE_MSS_AUTO_MAX_RUNS))
+
+
+def _host_mss_classes(classes: np.ndarray, scores: np.ndarray,
+                      options: Options, nof_labels: int) -> np.ndarray:
+    """Native multithreaded MSS on a pre-transformed score track.
+
+    Bit-identical to ``apply_mss_scored(...).argmax(axis=1)`` (the C++
+    library emits class ids directly, skipping the one-hot intermediate).
+    """
+    return mss.find_mss_classes(scores.astype(float),
+                                classes.astype(np.int64), nof_labels,
+                                options.min_mss_len, options.xdrop_len)
+
+
 def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
                      options: Options, step_size: int,
                      use_mss: bool,
                      engine: Optional[PredictionEngine] = None,
-                     device_mss: bool = False) -> np.ndarray:
+                     device_mss="auto") -> np.ndarray:
     """One-hot sequence -> per-position class array (CLI ``_predict`` core,
     __main__.py:46-83).
 
-    The MSS path uses the transfer-light device scoring (``device_mss``
-    keeps even the MSS on chip — only int32 classes are transferred); the
-    softmax path needs the full probability matrix.
+    ``device_mss`` routes the MSS post-processing:
+
+      * ``"auto"`` (production default): dispatch the scored scan once,
+        count the score track's positive runs on device (one scalar
+        fetch), and keep the MSS on chip when the track is sparse — only
+        the final 1 B/bp class array crosses the link — else fetch the
+        packed scored track (pipelined, concurrent) for the host MSS.
+      * ``True``/``"on"``: force the all-on-chip path.
+      * ``False``/``"off"``: force the host path.
+
+    All three routes are bit-identical on the fixture BEDs (tests); the
+    softmax (``use_mss=False``) path needs the full probability matrix.
     """
     if engine is None:
         engine = PredictionEngine(model, batch_size=options.batch_size,
                                   step_size=step_size)
-    if use_mss and device_mss and hasattr(engine, "predict_scored_device"):
+    nof_labels = model.config.n_classes
+    out_len = onehot.shape[-1]
+
+    def zero_window_quirk() -> np.ndarray:
+        # Zero windows: the reference still applies MSS to the all-zero
+        # probability buffer, labeling the whole record class 1
+        # (prediction.py:51-57 on zeros) — keep that quirk.
+        out = apply_mss_scored(np.zeros(out_len, np.int8),
+                               np.zeros(out_len, np.float32), options,
+                               nof_labels)
+        return np.asanyarray(out.argmax(axis=1))
+
+    if use_mss and device_mss in (True, "on") and hasattr(
+            engine, "predict_scored_device"):
         classes_d, maxp_d, _ = engine.predict_scored_device(params, onehot)
-        out_len = onehot.shape[-1]
         if classes_d is None:
-            # Zero windows: the reference still applies MSS to the all-zero
-            # probability buffer, labeling the whole record class 1
-            # (prediction.py:51-57 on zeros) — keep that quirk.
-            out = apply_mss_scored(np.zeros(out_len, np.int8),
-                                   np.zeros(out_len, np.float32), options,
-                                   model.config.n_classes)
-            return np.asanyarray(out.argmax(axis=1))
-        return apply_mss_on_device(classes_d, maxp_d, options,
-                                   model.config.n_classes, out_len)
+            return zero_window_quirk()
+        return apply_mss_on_device(classes_d, maxp_d, options, nof_labels,
+                                   out_len)
     if use_mss:
+        if (device_mss == "auto" and hasattr(engine, "scored_tracks")
+                and getattr(engine, "device_route_ok", lambda: True)()):
+            track = engine.scored_tracks(params, onehot)
+            if track is None:
+                return zero_window_quirk()
+            runs = track.count_runs()
+            if runs <= _auto_max_runs():
+                classes_d, maxp_d = track.device()
+                return apply_mss_on_device(classes_d, maxp_d, options,
+                                           nof_labels, out_len, runs=runs)
+            classes, scores = track.host_mss_scores()
+            return _host_mss_classes(classes, scores, options, nof_labels)
         if hasattr(engine, "predict_mss_scores"):
             # Scores are computed inside the engine's fetch workers
             # (overlapping the device->host transfers), and the native MSS
@@ -152,15 +211,11 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
             # apply_mss_scored(...).argmax(axis=1) on predict_scored
             # outputs.
             classes, scores = engine.predict_mss_scores(params, onehot)
-            return mss.find_mss_classes(scores.astype(float),
-                                        classes.astype(np.int64),
-                                        model.config.n_classes,
-                                        options.min_mss_len,
-                                        options.xdrop_len)
-        # sharded engine: scored arrays, whole-array transform
+            return _host_mss_classes(classes, scores, options, nof_labels)
+        # engines without the worker-transform path: scored arrays,
+        # whole-array transform
         classes, maxp = engine.predict_scored(params, onehot)
-        out = apply_mss_scored(classes, maxp, options,
-                               model.config.n_classes)
+        out = apply_mss_scored(classes, maxp, options, nof_labels)
     else:
         out = softmax(engine.predict(params, onehot))
     return np.asanyarray(out.argmax(axis=1))

@@ -159,6 +159,60 @@ def test_parallel_trials_match_varying_lr(tmp_path):
     assert results[0]["val_loss"] < results[1]["val_loss"]
 
 
+def test_parallel_trials_freeze_converged(tmp_path):
+    # A frozen (patience-exhausted) trial's updates are masked to zero on
+    # device, and the fleet loop exits early once every trial is frozen
+    # instead of running to n_epochs.
+    import jax
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.hpo import vmapped
+
+    options = base_options(tmp_path)
+    options.n_epochs = 50  # the early-exit must fire long before this
+    options.n_batches = 2
+    options.early_stopping_th = 2
+    trial_dicts = [{"learning_rate": 0.01}, {"learning_rate": 0.0}]
+    results = run_parallel_trials(options, trial_dicts, make_tiny_data(0),
+                                  make_tiny_data(1), seed=0)
+    # lr=0 never improves after its first epoch -> stops at patience+1;
+    # both trials must have stopped well before 50 epochs.
+    assert results[1]["stopped_epoch"] <= 1 + options.early_stopping_th
+    for r in results:
+        assert r["stopped_epoch"] < options.n_epochs
+        assert len(r["val_history"]) == max(x["stopped_epoch"]
+                                            for x in results)
+
+    # Unit invariant: an inactive trial's params are bit-frozen through a
+    # fleet step while the active trial's move.
+    from deepgrp_tpu.models.model import create_model
+    from deepgrp_tpu.train.sampler import BatchSampler
+
+    model = create_model(options)
+    sampler = BatchSampler(options, make_tiny_data(0))
+    sampler_static = (sampler.n_sampled_classes, sampler.one_class_size,
+                      sampler.batch_size, sampler.seq_len)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = jax.vmap(model.init)(keys)
+    params_before = jax.device_get(params)
+    optimizer = vmapped._injected_optimizer(str(options.optimizer))
+    opt_states = jax.vmap(optimizer.init)(params)
+    hp = {k: jnp.asarray(v) for k, v in vmapped.stack_trial_hyperparams(
+        options, [{}, {}]).items()}
+    active = jnp.asarray([True, False])
+    params2, _, _ = vmapped._parallel_step(
+        params, opt_states, hp, keys, active, sampler._fwd, sampler._lbl,
+        sampler._candidates, sampler._lengths, sampler_static, model,
+        str(options.optimizer), int(options.vecsize))
+    after = jax.device_get(params2)
+    for key in ("rnn", "dense"):
+        for name, arr in after[key].items():
+            np.testing.assert_array_equal(
+                arr[1], params_before[key][name][1])  # frozen trial
+    assert not np.array_equal(after["dense"]["kernel"][0],
+                              params_before["dense"]["kernel"][0])
+
+
 def test_parallel_trials_reject_shape_keys(tmp_path):
     options = base_options(tmp_path)
     with pytest.raises(ValueError, match="can only vary"):

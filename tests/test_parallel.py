@@ -144,6 +144,34 @@ def test_sharded_predict_scored_matches_single_device(setup, seq_len):
     np.testing.assert_array_equal(m_sh, m_si)
 
 
+@pytest.mark.parametrize("seq_len", [5000, 1603])
+def test_sharded_device_mss_routes_match_host(setup, seq_len):
+    # The sharded engine's on-device assembly (+ all-on-chip MSS) and the
+    # in-worker-transform host route must both match the single-device
+    # host MSS classes exactly.
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = setup
+    onehot = make_onehot(seq_len, seed=seq_len + 7)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=16,
+                                      step_size=10)
+    want = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss=False)
+    dev = predict_sequence(model, params, onehot, options, 10, True,
+                           engine=sharded, device_mss=True)
+    auto = predict_sequence(model, params, onehot, options, 10, True,
+                            engine=sharded, device_mss="auto")
+    host = predict_sequence(model, params, onehot, options, 10, True,
+                            engine=sharded, device_mss=False)
+    np.testing.assert_array_equal(np.asarray(dev, np.int64),
+                                  np.asarray(want, np.int64))
+    np.testing.assert_array_equal(np.asarray(auto, np.int64),
+                                  np.asarray(want, np.int64))
+    np.testing.assert_array_equal(np.asarray(host, np.int64),
+                                  np.asarray(want, np.int64))
+
+
 def test_sharded_scored_partial_device_coverage(setup):
     # Window count that leaves trailing devices fully masked and one device
     # partially masked: boundary spills at the real/masked frontier must

@@ -145,10 +145,15 @@ def test_predict_sequence_device_mss_matches_host(small_model, random_dna,
     options, model, params = small_model
     _, onehot = encoding.one_hot_encode_dna_sequence(
         random_dna(seq_len, alphabet="ACGT", seed=seq_len + 1))
-    host = predict_sequence(model, params, onehot, options, 10, True)
+    host = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss=False)
     dev = predict_sequence(model, params, onehot, options, 10, True,
                            device_mss=True)
+    auto = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss="auto")
     np.testing.assert_array_equal(np.asarray(dev, np.int64),
+                                  np.asarray(host, np.int64))
+    np.testing.assert_array_equal(np.asarray(auto, np.int64),
                                   np.asarray(host, np.int64))
 
 
@@ -160,12 +165,56 @@ def test_predict_sequence_device_mss_zero_windows(small_model):
 
     options, model, params = small_model
     onehot = np.zeros((5, 20), dtype=np.int8)
-    host = predict_sequence(model, params, onehot, options, 10, True)
+    host = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss=False)
     dev = predict_sequence(model, params, onehot, options, 10, True,
                            device_mss=True)
+    auto = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss="auto")
     np.testing.assert_array_equal(np.asarray(dev, np.int64),
                                   np.asarray(host, np.int64))
+    np.testing.assert_array_equal(np.asarray(auto, np.int64),
+                                  np.asarray(host, np.int64))
     assert (np.asarray(dev) == 1).all()
+
+
+@pytest.mark.parametrize("max_runs", ["0", "1000000"])
+def test_predict_sequence_auto_routes_agree(small_model, random_dna,
+                                            monkeypatch, max_runs):
+    # Force each auto route via the threshold env var: 0 -> always host,
+    # 1e6 -> always device.  Both must produce the same classes.
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(300, alphabet="ACGT", seed=99))
+    want = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss=False)
+    monkeypatch.setenv("DEEPGRP_DEVICE_MSS_MAX_RUNS", max_runs)
+    got = predict_sequence(model, params, onehot, options, 10, True,
+                           device_mss="auto")
+    np.testing.assert_array_equal(np.asarray(got, np.int64),
+                                  np.asarray(want, np.int64))
+
+
+def test_scored_track_assembly_matches_scored_device(small_model,
+                                                     random_dna):
+    # The packed-slice device assembly (auto route) must reproduce the
+    # one-dispatch predict_scored_device track exactly over the covered
+    # rows (grids differ past the coverage: sliced vs bucketed padding).
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(500, alphabet="ACGT", seed=5))
+    engine = PredictionEngine(model, batch_size=options.batch_size,
+                              step_size=10)
+    cls_d, maxp_d, rows = engine.predict_scored_device(params, onehot)
+    track = engine.scored_tracks(params, onehot)
+    cls_a, maxp_a = track.device()
+    n = min(rows, cls_a.shape[0])
+    np.testing.assert_array_equal(np.asarray(cls_a)[:n],
+                                  np.asarray(cls_d)[:n])
+    np.testing.assert_array_equal(np.asarray(maxp_a)[:n],
+                                  np.asarray(maxp_d)[:n])
 
 
 def test_predict_scored_zero_windows(small_model):

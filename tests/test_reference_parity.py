@@ -136,6 +136,50 @@ def test_bfloat16_engine_accuracy(name):
     assert agreement >= 0.95, f"bf16/f32 class agreement {agreement:.3f}"
 
 
+@pytest.mark.parametrize("name", ["gru_att", "gru"])
+def test_bfloat16_quality_contract(name):
+    """Quantified bf16 quality bound through the FULL annotation pipeline.
+
+    The fast mode's contract is not just positionwise agreement: after
+    MSS labeling (the product output), the bf16 run must agree with the
+    float32 run at segment level — R_K Matthews correlation (the
+    reference's headline metric, prediction.py:144-239) >= 0.95 treating
+    the f32 annotation as reference, and post-MSS positionwise class
+    agreement >= 0.98 (MSS labeling smooths per-window wobble, so the
+    post-MSS bound is TIGHTER than the raw 0.95 above).
+    """
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.predict.engine import PredictionEngine
+    from deepgrp_tpu.predict.metrics import (
+        calculate_multiclass_matthews_cc, confusion_matrix)
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    man = manifest()
+    config, params = load_keras_h5(os.path.join(FIXDIR, f"{name}.h5"))
+    model = DeepGRPModel(config)
+    with open(os.path.join(FIXDIR, f"{name}.fa")) as fh:
+        _, seq = next(read_multi_fasta(fh))
+    _, onehot = one_hot_encode_dna_sequence(seq)
+    options = Options(vecsize=config.vecsize,
+                      min_mss_len=man["min_mss_len"],
+                      xdrop_len=man["xdrop_len"])
+    params = jax.device_put(params)
+    step, batch = man["step_size"], man["batch_size"]
+    f32 = PredictionEngine(model, batch_size=batch, step_size=step)
+    bf16 = PredictionEngine(model, batch_size=batch, step_size=step,
+                            compute_dtype=jnp.bfloat16)
+    cls32 = np.asarray(predict_sequence(model, params, onehot, options,
+                                        step, True, engine=f32), np.int64)
+    cls16 = np.asarray(predict_sequence(model, params, onehot, options,
+                                        step, True, engine=bf16), np.int64)
+    agreement = float((cls32 == cls16).mean())
+    assert agreement >= 0.98, f"post-MSS agreement {agreement:.4f}"
+    mcc = calculate_multiclass_matthews_cc(confusion_matrix(cls32, cls16))
+    assert mcc >= 0.95, f"bf16-vs-f32 R_K MCC {mcc:.4f}"
+
+
 @pytest.mark.parametrize("name", ["gru_att", "gru", "lstm"])
 def test_bed_bitwise_parity_fused(name, tmp_path):
     """The fused Pallas recurrence reproduces the reference BED exactly.
