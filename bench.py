@@ -219,7 +219,13 @@ def measure_device_only_with(engine, params, codes, n_windows) -> tuple:
 
 
 def measure_train(codes: np.ndarray) -> float:
-    """Fused train step throughput (steps/s) at the flagship config."""
+    """Production train step throughput (steps/s) at the flagship config.
+
+    Uses the Trainer's auto kernel selection: on TPU the recurrence
+    fwd+bwd runs in the fused Pallas train kernels
+    (models/pallas_rnn_train.py; measured 1.64x the XLA scan step,
+    benchmarks/train_kernel_bench.json).
+    """
     import jax
 
     _enable_compile_cache()
@@ -227,7 +233,8 @@ def measure_train(codes: np.ndarray) -> float:
     from deepgrp_tpu.data.preprocess import Data
     from deepgrp_tpu.train.optimizers import get_optimizer
     from deepgrp_tpu.train.sampler import BatchSampler
-    from deepgrp_tpu.train.training import _train_epoch
+    from deepgrp_tpu.train.training import (_train_epoch,
+                                            codes_from_onehot_rows)
 
     options, model = flagship()
     options.batch_size = 256  # reference training batch (model.py:101)
@@ -250,15 +257,19 @@ def measure_train(codes: np.ndarray) -> float:
     key = jax.random.PRNGKey(0)
 
     reps = 20
+    fused = jax.default_backend() == "tpu"
+    fwd_buf = (codes_from_onehot_rows(sampler._fwd) if fused
+               else sampler._fwd)
 
     def epoch(params, opt_state, key):
         # The production Trainer path: `reps` steps as ONE lax.scan
         # program (train/training.py:_train_epoch) — a single dispatch
-        # per epoch.
-        return _train_epoch(params, opt_state, key, sampler._fwd,
+        # per epoch, with the fused recurrence kernels on TPU.
+        return _train_epoch(params, opt_state, key, fwd_buf,
                             sampler._lbl, sampler._candidates,
                             sampler._lengths, sampler_static, model,
-                            optimizer, int(options.vecsize), reps)
+                            optimizer, int(options.vecsize), reps,
+                            fused=fused)
 
     params, opt_state, key, losses = epoch(params, opt_state, key)  # compile
     float(losses[-1])  # real fetch: block_until_ready alone is unreliable

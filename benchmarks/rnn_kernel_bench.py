@@ -174,6 +174,53 @@ def main() -> None:
             rows.append(row)
             print(row, flush=True)
 
+    # --- v2 fused LSTM: same contract, 4 gates, (h, c) carry -----------
+    for units in units_sweep:
+        lstm_params = rnn.lstm_init(jax.random.PRNGKey(0), 5, units)
+        for dtype_name, dtype in (("float32", jnp.float32),
+                                  ("bfloat16", jnp.bfloat16)):
+            codes = jnp.asarray(codes_np, jnp.int32)
+            p = jax.tree.map(lambda a: a.astype(dtype), lstm_params)
+
+            def scan_composed_lstm(p, codes, dtype=dtype):
+                x = jax.nn.one_hot(codes, 5, dtype=dtype)
+                both = jnp.concatenate([x, reverse_complement(x)], axis=0)
+                seq, last = rnn.lstm_apply(p, both)
+                avg = (seq[:n_windows] + seq[n_windows:]) * 0.5
+                hidden = (last[:n_windows] + last[n_windows:]) * 0.5
+                return avg, hidden
+
+            scan_ms = bench(jax.jit(scan_composed_lstm), p, codes)
+            best = None
+            for time_block in (8, 16):
+                for block_b in (256, 512):
+                    fn = jax.jit(lambda p, c, tb=time_block, bb=block_b,
+                                 dt=dtype: pallas_rnn.pallas_lstm_avg(
+                                     p, c, block_b=bb, time_block=tb,
+                                     out_dtype=dt))
+                    try:
+                        ms = bench(fn, lstm_params, codes)
+                    except Exception as err:
+                        print(f"  v2-lstm units={units} {dtype_name} "
+                              f"tb={time_block} bb={block_b}: "
+                              f"{type(err).__name__}", flush=True)
+                        continue
+                    print(f"  v2-lstm units={units} {dtype_name} "
+                          f"tb={time_block} bb={block_b}: {ms:.2f} ms",
+                          flush=True)
+                    if best is None or ms < best["ms"]:
+                        best = {"ms": ms, "time_block": time_block,
+                                "block_b": block_b}
+            row = {"kernel": "v2_avg_lstm", "units": units,
+                   "dtype": dtype_name, "scan_ms": round(scan_ms, 2)}
+            if best is not None:
+                row.update(pallas_ms=round(best["ms"], 2),
+                           pallas_time_block=best["time_block"],
+                           pallas_block_b=best["block_b"],
+                           pallas_speedup=round(scan_ms / best["ms"], 2))
+            rows.append(row)
+            print(row, flush=True)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "rnn_kernel_bench.json")
     with open(out_path, "w") as fh:

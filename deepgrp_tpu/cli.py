@@ -367,7 +367,8 @@ def cmd_train(args: argparse.Namespace, options) -> None:
     _LOG.info("Training Model")
     best_params, _ = training((train_data, val_data), parameter, model,
                               args.logdir, mesh=mesh,
-                              tensorboard=args.tensorboard)
+                              tensorboard=args.tensorboard,
+                              rnn_kernel=args.rnn_kernel)
 
     _LOG.info("Saving model as %s", args.modelfile)
     if args.modelfile.endswith((".h5", ".hdf5")):

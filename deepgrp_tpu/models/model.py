@@ -167,11 +167,17 @@ def forward_logits(params: Params, x: jax.Array, config: ModelConfig, *,
     seq, last = rnn_apply(params["rnn"], both, dropout_rate=rate,
                           dropout_key=dropout_key)
     avg = (seq[:batch] + seq[batch:]) * 0.5
+    hidden = (last[:batch] + last[batch:]) * 0.5
+    return _head_logits(params, avg, hidden, config,
+                        "highest" if x.dtype == jnp.float32 else "default")
 
-    with jax.default_matmul_precision(
-            "highest" if x.dtype == jnp.float32 else "default"):
+
+def _head_logits(params: Params, avg: jax.Array, hidden: jax.Array,
+                 config: ModelConfig, precision: str) -> jax.Array:
+    """Attention + dense head over the branch-averaged recurrence outputs
+    (shared by the scan, fused-inference and fused-training paths)."""
+    with jax.default_matmul_precision(precision):
         if config.use_attention:
-            hidden = (last[:batch] + last[batch:]) * 0.5
             att = additive_attention(params["attention"]["scale"], hidden,
                                      avg)
             feats = jnp.concatenate(
@@ -180,6 +186,42 @@ def forward_logits(params: Params, x: jax.Array, config: ModelConfig, *,
             feats = avg
 
         return feats @ params["dense"]["kernel"] + params["dense"]["bias"]
+
+
+def forward_logits_from_codes_train(params: Params, codes: jax.Array,
+                                    config: ModelConfig, *,
+                                    dropout_key: Optional[jax.Array] = None,
+                                    dropout_rate=None) -> jax.Array:
+    """Trainable fused forward: integer code windows -> logits.
+
+    GRU training fast path: the fwd+revcomp recurrence (with Keras input
+    dropout applied in-kernel as per-gate mask scales) runs through the
+    custom-VJP Pallas kernel pair (models/pallas_rnn_train.py), so the
+    backward pass recomputes gates in VMEM instead of spooling ``[2B, T,
+    3u]`` intermediates through HBM.  The per-gate masks are drawn from
+    ``dropout_key`` exactly as the scan path draws them
+    (rnn._input_dropout_masks over the doubled batch), so the
+    regularization semantics are identical.
+    """
+    from deepgrp_tpu.models import rnn as rnn_lib_
+    from deepgrp_tpu.models.pallas_rnn_train import pallas_gru_avg_train
+
+    if config.rnn == "LSTM":
+        raise ValueError("fused training kernel supports GRU only")
+    rate = config.dropout if dropout_rate is None else dropout_rate
+    batch = codes.shape[0]
+    if dropout_key is not None and (isinstance(rate, jax.Array)
+                                    or rate > 0.0):
+        masks = rnn_lib_._input_dropout_masks(
+            dropout_key, (2 * batch, config.input_dim), rate, 3,
+            jnp.float32)
+        has_mask = True
+    else:
+        masks = jnp.ones((3, 2 * batch, config.input_dim), jnp.float32)
+        has_mask = False
+    avg, hidden = pallas_gru_avg_train(params["rnn"], codes, masks,
+                                       has_mask)
+    return _head_logits(params, avg, hidden, config, "highest")
 
 
 def forward_probs_from_codes(params: Params, codes: jax.Array,

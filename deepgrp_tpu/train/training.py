@@ -88,8 +88,17 @@ class MetricsWriter:
 
 def _train_step_body(params, opt_state, key, fwd, lbl, candidates, lengths,
                      sampler_static, model: DeepGRPModel,
-                     optimizer: optax.GradientTransformation, vecsize: int):
-    """One optimization step: sample, gather, forward/backward, update."""
+                     optimizer: optax.GradientTransformation, vecsize: int,
+                     fused: bool = False):
+    """One optimization step: sample, gather, forward/backward, update.
+
+    ``fused=True`` takes the Pallas train-kernel path
+    (models/pallas_rnn_train.py): ``fwd`` must then be the compact CODES
+    buffer ``int [L]`` (see :func:`codes_from_onehot_rows`) instead of the
+    one-hot ``[L, 5]`` rows, and the recurrence fwd+bwd runs in two fused
+    VMEM kernels instead of the XLA scan.
+    """
+    from deepgrp_tpu.models.model import forward_logits_from_codes_train
     from deepgrp_tpu.train import sampler as sampler_lib
 
     n_sampled, ocs, batch, seq_len = sampler_static
@@ -102,13 +111,22 @@ def _train_step_body(params, opt_state, key, fwd, lbl, candidates, lengths,
         return jax.lax.dynamic_slice(buf, (start, 0),
                                      (vecsize, buf.shape[1]))
 
-    x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
     y = jax.vmap(lambda s: cut(lbl, s))(starts).astype(jnp.float32)
+    if fused:
+        codes = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            fwd, (s,), (vecsize,)))(starts)
 
-    def loss_fn(p):
-        logits = model.apply_logits(p, x, deterministic=False,
-                                    dropout_key=key_dropout)
-        return categorical_crossentropy(logits, y)
+        def loss_fn(p):
+            logits = forward_logits_from_codes_train(
+                p, codes, model.config, dropout_key=key_dropout)
+            return categorical_crossentropy(logits, y)
+    else:
+        x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
+
+        def loss_fn(p):
+            logits = model.apply_logits(p, x, deterministic=False,
+                                        dropout_key=key_dropout)
+            return categorical_crossentropy(logits, y)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -116,20 +134,28 @@ def _train_step_body(params, opt_state, key, fwd, lbl, candidates, lengths,
     return params, opt_state, loss
 
 
+def codes_from_onehot_rows(fwd_rows: jax.Array) -> jax.Array:
+    """One-hot rows ``[L, 5]`` -> compact codes ``int32 [L]`` (zero rows,
+    e.g. hard-masked positions, map to the kernel's pad code 5)."""
+    occupied = jnp.sum(fwd_rows, axis=1) > 0
+    return jnp.where(occupied, jnp.argmax(fwd_rows, axis=1),
+                     5).astype(jnp.int32)
+
+
 _train_step = partial(jax.jit,
                       static_argnames=("model", "optimizer", "vecsize",
-                                       "sampler_static"),
+                                       "sampler_static", "fused"),
                       donate_argnums=(0, 1))(_train_step_body)
 
 
 @partial(jax.jit,
          static_argnames=("model", "optimizer", "vecsize", "sampler_static",
-                          "n_steps"),
+                          "n_steps", "fused"),
          donate_argnums=(0, 1))
 def _train_epoch(params, opt_state, key, fwd, lbl, candidates, lengths,
                  sampler_static, model: DeepGRPModel,
                  optimizer: optax.GradientTransformation, vecsize: int,
-                 n_steps: int):
+                 n_steps: int, fused: bool = False):
     """A whole epoch (``n_steps`` optimization steps) as ONE device
     program: the per-step loop runs as a ``lax.scan`` with donated
     params/optimizer state, so an epoch costs a single dispatch instead of
@@ -146,7 +172,7 @@ def _train_epoch(params, opt_state, key, fwd, lbl, candidates, lengths,
         key, step_key = jax.random.split(key)
         params, opt_state, loss = _train_step_body(
             params, opt_state, step_key, fwd, lbl, candidates, lengths,
-            sampler_static, model, optimizer, vecsize)
+            sampler_static, model, optimizer, vecsize, fused=fused)
         return (params, opt_state, key), loss
 
     (params, opt_state, key), losses = jax.lax.scan(
@@ -174,7 +200,7 @@ class Trainer:
 
     def __init__(self, model: DeepGRPModel, options: Options,
                  logdir: os.PathLike, tensorboard: bool = True,
-                 mesh=None):
+                 mesh=None, rnn_kernel: str = "auto"):
         self.model = model
         self.options = options
         self.logdir = logdir
@@ -182,6 +208,31 @@ class Trainer:
         self.checkpoints = CheckpointManager(logdir)
         self.writer = MetricsWriter(logdir, tensorboard=tensorboard)
         self.mesh = mesh
+        self.fused = self._resolve_train_kernel(rnn_kernel)
+
+    def _resolve_train_kernel(self, mode: str) -> bool:
+        """Whether the optimization step uses the fused Pallas train
+        kernels (models/pallas_rnn_train.py).
+
+        ``"auto"`` picks fused for GRU on TPU single-device training (the
+        measured winner at the flagship shape,
+        benchmarks/train_kernel_bench.json); the data-parallel mesh step
+        keeps the scan (the kernel inside shard_map is untested on
+        multi-chip) and non-TPU backends keep the scan (interpreter-mode
+        Pallas is orders of magnitude slower).
+        """
+        if mode == "scan":
+            return False
+        if mode == "fused":
+            if self.model.config.rnn == "LSTM":
+                raise ValueError("fused training kernel supports GRU only")
+            return True
+        if mode != "auto":
+            raise ValueError(
+                f"rnn_kernel must be auto|scan|fused, got {mode!r}")
+        return (jax.default_backend() == "tpu"
+                and self.model.config.rnn != "LSTM"
+                and self.mesh is None)
 
     def fit(self, train_data: Data, val_data: Data, params=None,
             seed: int = 0,
@@ -230,6 +281,12 @@ class Trainer:
                 _LOG.info("data-parallel training over %d devices",
                           self.mesh.shape[DATA_AXIS])
 
+        fwd_buf = train_sampler._fwd
+        if self.fused and dp_epoch is None:
+            # Fused train kernels consume compact codes (5x less HBM and
+            # an exact in-kernel row-select input projection).
+            fwd_buf = codes_from_onehot_rows(train_sampler._fwd)
+
         def run_epoch(params, opt_state, key):
             """One dispatch per epoch: n_batches steps scanned on device."""
             if dp_epoch is not None:
@@ -238,11 +295,11 @@ class Trainer:
                                 train_sampler._candidates,
                                 train_sampler._lengths)
             return _train_epoch(params, opt_state, key,
-                                train_sampler._fwd, train_sampler._lbl,
+                                fwd_buf, train_sampler._lbl,
                                 train_sampler._candidates,
                                 train_sampler._lengths, sampler_static,
                                 model, self.optimizer, options.vecsize,
-                                options.n_batches)
+                                options.n_batches, fused=self.fused)
 
         history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
         best_val = np.inf
@@ -295,19 +352,20 @@ def training(data: Tuple[Data, Data], options: Options,
              logdir: os.PathLike = ".",
              extra_callbacks: Optional[List[MetricCallback]] = None,
              params=None, seed: int = 0, mesh=None,
-             tensorboard: bool = True):
+             tensorboard: bool = True, rnn_kernel: str = "auto"):
     """Functional API mirroring the reference ``training()``
     (training.py:15-73).  Returns ``(best_params, history)``.
 
     ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training.
     ``tensorboard`` (default on, reference parity: the TensorBoard
     callback always runs, training.py:40-45) mirrors metrics into TB
-    event files next to ``metrics.jsonl``.
+    event files next to ``metrics.jsonl``.  ``rnn_kernel`` selects the
+    optimization step's recurrence implementation (auto|scan|fused).
     """
     if model is None:
         model = create_model(options)
     trainer = Trainer(model, options, logdir, mesh=mesh,
-                      tensorboard=tensorboard)
+                      tensorboard=tensorboard, rnn_kernel=rnn_kernel)
     try:
         return trainer.fit(data[0], data[1], params=params, seed=seed,
                            callbacks=extra_callbacks)
