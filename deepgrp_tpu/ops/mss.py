@@ -148,6 +148,126 @@ def find_mss_classes(scores: np.ndarray, labels: np.ndarray,
     return one_hot.argmax(axis=1).astype(np.int32)
 
 
+class SplitScanner:
+    """Incremental exact block-split detection for streaming MSS.
+
+    Same theory as the multithreaded C++ decomposition
+    (``native/src/mss_parallel.cc:1-24``): the END of any maximal
+    non-positive run with cumulative drop > ``xdrop`` (and run start > 0)
+    is an exact block boundary — Ruzzo-Tompa restarted there produces
+    identical output.  This scanner consumes a score track incrementally
+    (as pipeline slices land from the device) and reports the split
+    points found so far, carrying the open-run state across feeds, so
+    per-block MSS can run WHILE later slices are still in flight.
+
+    ``min_gap`` suppresses splits closer than that many positions to the
+    previous one (noisy tracks have thousands of reset points; per-block
+    dispatch overhead would swamp the win).
+    """
+
+    def __init__(self, xdrop: float, min_gap: int = 1 << 18):
+        self.xdrop = float(xdrop)
+        self.min_gap = int(min_gap)
+        self._pos = 0  # next unscanned global index
+        self._run_start = -1  # global start of the open non-positive run
+        self._drop = 0.0
+        self._last_split = 0
+
+    def feed(self, scores: np.ndarray, upto: int) -> List[int]:
+        """Scan ``scores[pos:upto]``; return new split points (ascending).
+
+        ``scores`` must be stable up to ``upto`` (later entries may still
+        be unwritten).
+        """
+        lo, hi = self._pos, int(upto)
+        if hi <= lo or self.xdrop <= 0.0:
+            self._pos = max(self._pos, hi)
+            return []
+        region = scores[lo:hi]
+        pos_mask = region > 0.0
+        # Maximal non-positive run boundaries within the region (index 0
+        # counts as a run start/end marker via the prepended sentinel;
+        # the carry logic below overrides it when a run is open).
+        run_starts = list(np.flatnonzero(
+            ~pos_mask & np.concatenate([[True], pos_mask[:-1]])))
+        run_end_markers = np.flatnonzero(
+            pos_mask & np.concatenate([[True], ~pos_mask[:-1]]))
+        drops = np.cumsum(np.where(pos_mask, 0.0, -region.astype(np.float64)))
+
+        def run_drop(s_local: int, e_local: int) -> float:
+            d = drops[e_local - 1] - (drops[s_local - 1] if s_local else 0.0)
+            return float(d)
+
+        splits: List[int] = []
+        carry_start = self._run_start
+        carry_drop = self._drop
+        if carry_start >= 0:
+            # The open run continues at region offset 0 (or ends at the
+            # first positive position).
+            if region.size and pos_mask[0]:
+                e_local = 0
+                total = carry_drop
+                self._maybe_split(splits, carry_start, total, lo + e_local)
+                carry_start, carry_drop = -1, 0.0
+            else:
+                nxt = run_end_markers[run_end_markers > 0]
+                if nxt.size:
+                    e_local = int(nxt[0])
+                    total = carry_drop + run_drop(0, e_local)
+                    self._maybe_split(splits, carry_start, total,
+                                      lo + e_local)
+                    carry_start, carry_drop = -1, 0.0
+                else:  # run spans the whole region
+                    carry_drop += run_drop(0, region.size)
+                    self._run_start, self._drop = carry_start, carry_drop
+                    self._pos = hi
+                    return splits
+        for s_local in run_starts:
+            if s_local == 0 and self._run_start >= 0:
+                continue  # handled as carry above
+            nxt = run_end_markers[run_end_markers > s_local]
+            if nxt.size:
+                e_local = int(nxt[0])
+                self._maybe_split(splits, lo + s_local,
+                                  run_drop(s_local, e_local), lo + e_local)
+            else:  # open run at the region end: carry it
+                carry_start = lo + s_local
+                carry_drop = run_drop(s_local, region.size)
+                break
+        else:
+            carry_start, carry_drop = -1, 0.0
+        self._run_start, self._drop = carry_start, carry_drop
+        self._pos = hi
+        return splits
+
+    def _maybe_split(self, splits: List[int], run_start_global: int,
+                     drop: float, end_global: int) -> None:
+        # Strict margin: the split is valid only if the X-drop reset
+        # PROVABLY fires inside the run under the DP's own sequential
+        # arithmetic; a vectorized cumsum can differ by a few ulps, so a
+        # borderline drop==xdrop run is not split.
+        margin = 1e-6 * max(1.0, abs(self.xdrop))
+        if (run_start_global > 0 and drop > self.xdrop + margin
+                and end_global - self._last_split >= self.min_gap):
+            splits.append(end_global)
+            self._last_split = end_global
+
+
+def streaming_mss_block_classes(scores: np.ndarray, labels: np.ndarray,
+                                out: np.ndarray, lo: int, hi: int,
+                                nof_labels: int, min_mss_len: int,
+                                xdrop_len: int) -> None:
+    """Label one independent block ``[lo, hi)`` into ``out`` (int32).
+
+    Exactness: ``lo``/``hi`` must be 0/len or SplitScanner split points.
+    Runs single-threaded — the streaming driver parallelizes across
+    blocks, so per-block thread fan-out would only add overhead.
+    """
+    out[lo:hi] = find_mss_classes(scores[lo:hi], labels[lo:hi],
+                                  nof_labels, min_mss_len, xdrop_len,
+                                  threads=1)
+
+
 def _mss_find_all_py(scores: np.ndarray, min_score: float,
                      xdrop: float) -> List[Tuple[int, int, float]]:
     """Pure-python Ruzzo–Tompa with X-drop; specification fallback."""

@@ -282,6 +282,27 @@ class ScoredTrack:
         return self._engine._mss_scores_from_state(self._state,
                                                    self._out_len)
 
+    def host_mss_classes(self, options, nof_labels: int) -> np.ndarray:
+        """Full host MSS route -> per-position classes ``int32 [L]``.
+
+        Uses the engine's STREAMING driver when available (per-block
+        Ruzzo-Tompa starts as soon as an exact reset-point split lands,
+        overlapping the MSS with the remaining device->host transfers);
+        falls back to fetch-then-whole-array.  Bit-identical either way
+        (ops/mss.py:SplitScanner exactness).
+        """
+        if (hasattr(self._engine, "_mss_classes_streaming")
+                and options.xdrop_len > 0):
+            return self._engine._mss_classes_streaming(
+                self._state, self._out_len, options, nof_labels)
+        from deepgrp_tpu.ops import mss as mss_lib
+
+        classes, scores = self.host_mss_scores()
+        return mss_lib.find_mss_classes(scores.astype(float),
+                                        classes.astype(np.int64),
+                                        nof_labels, options.min_mss_len,
+                                        options.xdrop_len)
+
 
 def mss_score_transform(classes: np.ndarray,
                         maxp: np.ndarray) -> np.ndarray:
@@ -333,8 +354,9 @@ def resolve_rnn_kernel(mode: str, model: DeepGRPModel,
 
     ``"scan"``/``"fused"`` force; ``"auto"`` picks fused on TPU for BOTH
     cells in BOTH dtypes — the measured winner at the flagship shape
-    (benchmarks/rnn_kernel_bench.json: GRU f32 2.79x, bf16 1.89x vs the
-    XLA scan; LSTM rows in the same sweep) — and the float32 fused path is
+    (benchmarks/rnn_kernel_bench.json: GRU f32 2.8-3.1x, LSTM f32 2.6x,
+    LSTM bf16 1.55x vs the XLA scan; GRU bf16 swings 1.0-1.9x across
+    sweeps, never below parity) — and the float32 fused path is
     bitwise BED-identical to the reference on real-TPU Mosaic compilation
     (tests/test_reference_parity.py::test_bed_bitwise_parity_fused, run
     with DEEPGRP_TEST_PLATFORM=tpu).  Non-TPU backends keep the scan (the
@@ -590,6 +612,88 @@ class PredictionEngine:
                                                 np.zeros(1, np.float32))[0]
             return out_classes, out_scores
         return track.host_mss_scores()
+
+    def _mss_classes_streaming(self, state, out_len: int, options,
+                               nof_labels: int) -> np.ndarray:
+        """Host MSS overlapped with the device->host transfers.
+
+        The packed slices are fetched concurrently (as in
+        :meth:`_mss_scores_from_state`); the main thread walks them in
+        order, feeds the transformed score prefix to
+        ``ops.mss.SplitScanner`` (exact X-drop reset-point block splits),
+        and dispatches each completed block's Ruzzo-Tompa + labeling to a
+        worker pool — so by the time the last slice lands, most of the
+        MSS is already done.  Bit-identical to the whole-array host path
+        (tests/test_mss.py streaming property tests + the route-equality
+        tests in test_predict.py).
+        """
+        import math
+        from concurrent.futures import ThreadPoolExecutor
+
+        from deepgrp_tpu.ops import mss as mss_lib
+
+        slices, spill, rows_per_slice = state
+        out_classes = np.zeros(out_len, np.int8)
+        out_scores = np.empty(out_len, np.float32)
+        zero_fill = mss_score_transform(np.zeros(1, np.int8),
+                                        np.zeros(1, np.float32))[0]
+
+        def fetch(i):
+            packed = np.asarray(slices[i][0])
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
+            pos = i * rows_per_slice
+            take = min(out_len - pos, rows_per_slice)
+            if take > 0:
+                out_classes[pos:pos + take] = classes_s[:take]
+                out_scores[pos:pos + take] = mss_score_transform(
+                    classes_s[:take], maxp_s[:take])
+
+        import os
+
+        s0 = math.log(0.99 / (1.0 - 0.99))
+        scanner = mss_lib.SplitScanner(
+            s0 * options.xdrop_len * 10.0,
+            min_gap=int(os.environ.get("DEEPGRP_MSS_STREAM_MIN_GAP",
+                                       1 << 18)))
+        out = np.empty(out_len, np.int32)
+        n_slices = len(slices)
+        with ThreadPoolExecutor(min(n_slices, 8)) as fetch_ex, \
+                ThreadPoolExecutor(4) as mss_ex:
+            futs = [fetch_ex.submit(fetch, i) for i in range(n_slices)]
+            mss_futs = []
+            block_start = 0
+            for i, fut in enumerate(futs):
+                fut.result()  # [0, frontier) is now fully written
+                frontier = min((i + 1) * rows_per_slice, out_len)
+                for split in scanner.feed(out_scores, frontier):
+                    mss_futs.append(mss_ex.submit(
+                        mss_lib.streaming_mss_block_classes, out_scores,
+                        out_classes, out, block_start, split, nof_labels,
+                        options.min_mss_len, options.xdrop_len))
+                    block_start = split
+            # Tail past the slice rows: final spill scores, then the
+            # uncovered zero-probability fill (reference prediction.py:90).
+            pos = min(n_slices * rows_per_slice, out_len)
+            if pos < out_len:
+                spill_h = np.asarray(spill)
+                hi = min(pos + spill_h.shape[0], out_len)
+                if hi > pos:
+                    cls = spill_h[:hi - pos].argmax(axis=1).astype(np.int8)
+                    out_classes[pos:hi] = cls
+                    out_scores[pos:hi] = mss_score_transform(
+                        cls, spill_h[:hi - pos].max(axis=1))
+                if hi < out_len:
+                    out_scores[hi:] = zero_fill
+            if out_len > block_start:
+                # Final block: nothing left to overlap with, so use the
+                # multithreaded kernel (auto thread count) directly.
+                out[block_start:out_len] = mss_lib.find_mss_classes(
+                    out_scores[block_start:out_len],
+                    out_classes[block_start:out_len], nof_labels,
+                    options.min_mss_len, options.xdrop_len)
+            for fut in mss_futs:
+                fut.result()
+        return out
 
     def _mss_scores_from_state(self, state, out_len: int
                                ) -> Tuple[np.ndarray, np.ndarray]:

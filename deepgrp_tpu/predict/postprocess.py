@@ -202,8 +202,9 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
                 classes_d, maxp_d = track.device()
                 return apply_mss_on_device(classes_d, maxp_d, options,
                                            nof_labels, out_len, runs=runs)
-            classes, scores = track.host_mss_scores()
-            return _host_mss_classes(classes, scores, options, nof_labels)
+            # Host route: streaming per-block MSS overlapped with the
+            # remaining transfers (whole-array fallback inside).
+            return track.host_mss_classes(options, nof_labels)
         if hasattr(engine, "predict_mss_scores"):
             # Scores are computed inside the engine's fetch workers
             # (overlapping the device->host transfers), and the native MSS

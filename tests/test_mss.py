@@ -195,3 +195,41 @@ def test_find_mss_classes_matches_labels_argmax(seed):
     classes = mss.find_mss_classes(scores, labels, 5, 50, 50)
     np.testing.assert_array_equal(classes, one_hot.argmax(axis=1))
     assert classes.dtype == np.int32
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("min_gap", [1, 700])
+def test_streaming_split_blocks_match_whole_array(seed, min_gap):
+    """Streaming decomposition (SplitScanner + per-block labeling) is
+    bit-identical to the whole-array MSS for ANY feed chunking and any
+    min_gap — the exactness claim behind the engine's streaming host
+    route."""
+    import math
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3000, 20000))
+    scores = random_scores(rng, n)
+    # plant long negative stretches so X-drop resets definitely occur
+    for _ in range(6):
+        start = int(rng.integers(0, n - 300))
+        scores[start:start + 300] = -np.abs(scores[start:start + 300])
+    labels = rng.integers(0, 5, size=n)
+    min_len, xdrop_len = 25, 10
+    want = mss.find_mss_classes(scores, labels, 5, min_len, xdrop_len)
+
+    xdrop = S0 * xdrop_len * 10.0
+    scanner = mss.SplitScanner(xdrop, min_gap=min_gap)
+    feeds = sorted(set(rng.integers(1, n, size=12).tolist() + [n]))
+    splits = []
+    for upto in feeds:
+        splits += scanner.feed(scores.astype(np.float32), upto)
+    assert splits == sorted(splits)
+    out = np.empty(n, np.int32)
+    edges = [0] + splits + [n]
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if hi > lo:
+            mss.streaming_mss_block_classes(scores, labels, out, lo, hi,
+                                            5, min_len, xdrop_len)
+    np.testing.assert_array_equal(out, want)
+    if min_gap == 1:
+        assert len(splits) > 0, "planted stretches must yield splits"

@@ -197,6 +197,26 @@ def test_predict_sequence_auto_routes_agree(small_model, random_dna,
                                   np.asarray(want, np.int64))
 
 
+def test_streaming_host_mss_route_matches(small_model, random_dna,
+                                          monkeypatch):
+    # Multi-slice noisy track through the streaming host route (auto with
+    # a zero device threshold and a tiny split gap so real mid-sequence
+    # block splits occur) == forced plain host route.
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(6000, alphabet="ACGT", seed=42))
+    want = predict_sequence(model, params, onehot, options, 10, True,
+                            device_mss=False)
+    monkeypatch.setenv("DEEPGRP_DEVICE_MSS_MAX_RUNS", "0")
+    monkeypatch.setenv("DEEPGRP_MSS_STREAM_MIN_GAP", "100")
+    got = predict_sequence(model, params, onehot, options, 10, True,
+                           device_mss="auto")
+    np.testing.assert_array_equal(np.asarray(got, np.int64),
+                                  np.asarray(want, np.int64))
+
+
 def test_scored_track_assembly_matches_scored_device(small_model,
                                                      random_dna):
     # The packed-slice device assembly (auto route) must reproduce the
