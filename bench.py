@@ -126,14 +126,17 @@ def measure_device_only(codes: np.ndarray, precision: str) -> tuple:
 
 
 def measure_trained(precision: str = "float32") -> dict:
-    """Trained-weights chromosome scan: the sparse-track production case.
+    """Trained-weights chromosome scan: the production annotation case.
 
     Loads the reference-trained flagship fixture (gru_att.h5) and scans a
-    repeat-rich synthetic chromosome (tests/synth_mbp.py recipe).  A
-    trained model's score track is sparse (measured ~0.1% runs/bp), so
-    the auto MSS route keeps the Ruzzo-Tompa on chip and transfers 1 B/bp
-    — this records the e2e number that route buys, alongside the pure
-    device-compute time of the same scan for the e2e/compute ratio.
+    repeat-rich synthetic chromosome (tests/synth_mbp.py recipe) through
+    the auto route — the streaming host MSS, whose packed fetch rides
+    behind the chunk-scan compute and whose per-block Ruzzo-Tompa runs
+    during the transfers (the measured winner over the transfer-light
+    routes at every track density on this link class;
+    benchmarks/mss_route_bench.json).  Records the e2e number alongside
+    the pure device-compute time of the same scan for the e2e/compute
+    ratio.
     """
     import jax
     import jax.numpy as jnp
@@ -147,8 +150,7 @@ def measure_trained(precision: str = "float32") -> dict:
     from deepgrp_tpu.models.model import DeepGRPModel
     from deepgrp_tpu.ops.encoding import encode_codes_trimmed
     from deepgrp_tpu.predict.engine import PredictionEngine, window_starts
-    from deepgrp_tpu.predict.postprocess import (_auto_max_runs,
-                                                 predict_sequence)
+    from deepgrp_tpu.predict.postprocess import predict_sequence
 
     h5 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests",
                       "fixtures", "reference", "gru_att.h5")
@@ -193,7 +195,11 @@ def measure_trained(precision: str = "float32") -> dict:
         "device_only": dev_stats,
         "e2e_over_device_compute": round(e2e * dev_wps / n_windows, 2),
         "score_track_positive_runs": int(runs),
-        "mss_route": ("device" if runs <= _auto_max_runs() else "host"),
+        # Single-device auto policy: the streaming host route wins at
+        # every track density on this link class (the packed fetch rides
+        # behind compute); see benchmarks/mss_route_bench.json for the
+        # interleaved route comparison that set this.
+        "mss_route": "host-streaming",
     }
 
 

@@ -137,11 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
     predict.add_argument("--device-mss", nargs="?", const="on",
                          choices=["auto", "on", "off"], default="auto",
                          help="MSS post-processing placement: 'auto' "
-                         "(default) keeps the MSS on chip when the score "
-                         "track is sparse (trained models) so only class "
-                         "labels are transferred, and falls back to the "
-                         "pipelined host MSS for noisy tracks; 'on'/'off' "
-                         "force a path")
+                         "(default) uses the measured-best route — the "
+                         "streaming host MSS (overlapped with transfers) "
+                         "on a single device, sparsity-based transfer-"
+                         "light routing on a sharded mesh; 'on' forces "
+                         "all-on-chip (for very slow host links), 'off' "
+                         "forces the plain host path")
     return parser
 
 

@@ -185,57 +185,73 @@ class SplitScanner:
             return []
         region = scores[lo:hi]
         pos_mask = region > 0.0
-        # Maximal non-positive run boundaries within the region (index 0
-        # counts as a run start/end marker via the prepended sentinel;
-        # the carry logic below overrides it when a run is open).
-        run_starts = list(np.flatnonzero(
-            ~pos_mask & np.concatenate([[True], pos_mask[:-1]])))
+        # Maximal non-positive run boundaries within the region, fully
+        # vectorized (a noisy 2 Mbp track has ~200k runs — any per-run
+        # python loop here would dwarf the MSS itself).  Index 0 counts
+        # as a run start via the prepended sentinel; the carry logic
+        # below overrides it when a run is open across the feed boundary.
+        run_starts = np.flatnonzero(
+            ~pos_mask & np.concatenate([[True], pos_mask[:-1]]))
         run_end_markers = np.flatnonzero(
             pos_mask & np.concatenate([[True], ~pos_mask[:-1]]))
         drops = np.cumsum(np.where(pos_mask, 0.0, -region.astype(np.float64)))
 
-        def run_drop(s_local: int, e_local: int) -> float:
-            d = drops[e_local - 1] - (drops[s_local - 1] if s_local else 0.0)
-            return float(d)
-
         splits: List[int] = []
         carry_start = self._run_start
         carry_drop = self._drop
-        if carry_start >= 0:
+        carried_first = carry_start >= 0
+        if carried_first:
             # The open run continues at region offset 0 (or ends at the
             # first positive position).
-            if region.size and pos_mask[0]:
-                e_local = 0
-                total = carry_drop
-                self._maybe_split(splits, carry_start, total, lo + e_local)
+            if pos_mask[0]:
+                self._maybe_split(splits, carry_start, carry_drop, lo)
+                carried_first = False
                 carry_start, carry_drop = -1, 0.0
             else:
                 nxt = run_end_markers[run_end_markers > 0]
                 if nxt.size:
                     e_local = int(nxt[0])
-                    total = carry_drop + run_drop(0, e_local)
+                    total = carry_drop + float(drops[e_local - 1])
                     self._maybe_split(splits, carry_start, total,
                                       lo + e_local)
+                    carried_first = False
                     carry_start, carry_drop = -1, 0.0
                 else:  # run spans the whole region
-                    carry_drop += run_drop(0, region.size)
+                    carry_drop += float(drops[-1]) if region.size else 0.0
                     self._run_start, self._drop = carry_start, carry_drop
                     self._pos = hi
                     return splits
-        for s_local in run_starts:
-            if s_local == 0 and self._run_start >= 0:
-                continue  # handled as carry above
-            nxt = run_end_markers[run_end_markers > s_local]
-            if nxt.size:
-                e_local = int(nxt[0])
-                self._maybe_split(splits, lo + s_local,
-                                  run_drop(s_local, e_local), lo + e_local)
-            else:  # open run at the region end: carry it
-                carry_start = lo + s_local
-                carry_drop = run_drop(s_local, region.size)
-                break
+        if run_starts.size and run_starts[0] == 0 and self._run_start >= 0:
+            run_starts = run_starts[1:]  # handled as carry above
+        # Pair each run with its end (the first positive index after it);
+        # the final run may be open at the region end -> carried.
+        ends_idx = np.searchsorted(run_end_markers, run_starts,
+                                   side="right")
+        open_last = run_starts.size and ends_idx[-1] >= run_end_markers.size
+        if open_last:
+            s_local = int(run_starts[-1])
+            carry_start = lo + s_local
+            carry_drop = float(drops[-1] -
+                               (drops[s_local - 1] if s_local else 0.0))
+            run_starts = run_starts[:-1]
+            ends_idx = ends_idx[:-1]
         else:
             carry_start, carry_drop = -1, 0.0
+        if run_starts.size:
+            run_ends = run_end_markers[ends_idx]
+            run_drops = (drops[run_ends - 1] -
+                         np.where(run_starts > 0,
+                                  drops[np.maximum(run_starts - 1, 0)],
+                                  0.0))
+            margin = 1e-6 * max(1.0, abs(self.xdrop))
+            qualifies = (run_drops > self.xdrop + margin) & (
+                (lo + run_starts) > 0)
+            # min_gap greedy selection over the (few) qualifying resets.
+            for e_local in run_ends[qualifies]:
+                end_global = lo + int(e_local)
+                if end_global - self._last_split >= self.min_gap:
+                    splits.append(end_global)
+                    self._last_split = end_global
         self._run_start, self._drop = carry_start, carry_drop
         self._pos = hi
         return splits

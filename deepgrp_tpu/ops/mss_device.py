@@ -325,6 +325,198 @@ def mss_classes_from_scored(classes: jax.Array, maxp: jax.Array,
                               xdrop_len, max_runs=max_runs)
 
 
+# -- hybrid host-stack route -------------------------------------------------
+#
+# The pure-device MSS above is exact but its candidate-stack while-loop is
+# LATENCY-bound on TPU (~0.5 ms per positive run measured on v5e: tiny
+# dynamic-slice ops dominate each iteration).  The production route
+# therefore splits the work by nature: the RUN COLLAPSE (dense cumsum /
+# segment reductions over the whole track) stays on device, the candidate
+# arrays — 16 bytes per positive run, i.e. ~10 KB for a trained 2 Mbp
+# track — cross to the host in ONE packed fetch, the inherently
+# sequential stack scan runs as host scalar code (microseconds), and the
+# final majority-vote labeling runs dense on device again.  Bit-identical
+# to :func:`mss_find_all_device` (same f32 prefix frame, same reset
+# placement; the host scan replicates run_body exactly).
+
+
+def _scored_to_scores(classes: jax.Array, maxp: jax.Array,
+                      out_len) -> tuple[jax.Array, jax.Array]:
+    """Reference score transform + padding neutralization (f32)."""
+    idx = jnp.arange(classes.shape[0], dtype=jnp.int32)
+    in_len = idx < out_len
+    labels = jnp.where(in_len, classes.astype(jnp.int32), 0)
+    mins = jnp.minimum(maxp.astype(jnp.float32) + jnp.float32(1e-6),
+                       jnp.float32(0.99))
+    t_scores = jnp.log(mins / (1 - mins))
+    scores = jnp.where(labels > 0, t_scores, -10 * t_scores)
+    return jnp.where(in_len, scores, 0.0), labels
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def collapse_candidates_packed(classes: jax.Array, maxp: jax.Array,
+                               out_len, *, capacity: int) -> jax.Array:
+    """Device run collapse -> ONE packed uint8 buffer for the host stack.
+
+    Layout: ``[runs i32 | overflow i32 | starts i32[c] | ends i32[c] |
+    l f32[c] | r f32[c]]`` bitcast to bytes — a single device->host fetch
+    delivers the candidate set AND the routing decision.  ``l``/``r`` are
+    the global f32 prefix pair of each positive run (the exact values
+    :func:`mss_find_all_device` uses), so a host stack scan over them
+    reproduces the device result bit-for-bit.
+    """
+    scores, _ = _scored_to_scores(classes, maxp, out_len)
+    n = scores.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = scores > 0
+    run_mark = pos & ~jnp.concatenate([jnp.zeros((1,), bool), pos[:-1]])
+    rid = jnp.cumsum(run_mark.astype(jnp.int32))
+    n_runs = rid[-1]
+    overflow = (n_runs > capacity).astype(jnp.int32)
+    seg_id = jnp.where(pos, rid, 0)
+    starts = jax.ops.segment_min(jnp.where(pos, idx, n), seg_id,
+                                 num_segments=capacity + 1)[1:]
+    ends = jax.ops.segment_max(jnp.where(pos, idx, -1), seg_id,
+                               num_segments=capacity + 1)[1:] + 1
+    prefix = jnp.cumsum(scores)
+    prefix_excl = prefix - scores
+    l_glob = prefix_excl[jnp.clip(starts, 0, n - 1)].astype(jnp.float32)
+    r_glob = prefix[jnp.clip(ends - 1, 0, n - 1)].astype(jnp.float32)
+    head = jnp.stack([n_runs, overflow]).astype(jnp.int32)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(head, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(starts, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(ends, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(l_glob, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(r_glob, jnp.uint8).reshape(-1),
+    ])
+
+
+def unpack_candidates(buf: np.ndarray, capacity: int):
+    """Host inverse of :func:`collapse_candidates_packed`."""
+    head = buf[:8].view(np.int32)
+    n_runs, overflow = int(head[0]), bool(head[1])
+    off = 8
+    starts = buf[off:off + 4 * capacity].view(np.int32)
+    off += 4 * capacity
+    ends = buf[off:off + 4 * capacity].view(np.int32)
+    off += 4 * capacity
+    l_glob = buf[off:off + 4 * capacity].view(np.float32)
+    off += 4 * capacity
+    r_glob = buf[off:off + 4 * capacity].view(np.float32)
+    return n_runs, overflow, starts, ends, l_glob, r_glob
+
+
+def mss_stack_from_candidates(starts, ends, l_glob, r_glob, n_runs: int,
+                              min_score: float, xdrop: float):
+    """Host replica of the device candidate-stack scan (run_body above).
+
+    Operates on the collapsed positive runs in np.float32 (the same
+    frame-shifted arithmetic as :func:`mss_find_all_device`), so the
+    emitted segments are identical to the all-on-chip path.  Sequential
+    scalar work — microseconds for trained-track run counts.
+
+    Returns ``(seg_starts, seg_ends)`` int lists in emission order.
+    """
+    f32 = np.float32
+    min_sc = f32(np.trunc(f32(min_score)))  # mss.c:35
+    xdrop = f32(xdrop)
+    neg = f32(_NEG_INF)
+    out_s: list = []
+    out_e: list = []
+    # Candidate stack: lists of (L, R, start, end, back_ptr)
+    stL: list = []
+    stR: list = []
+    stS: list = []
+    stE: list = []
+    stB: list = []
+
+    def flush():
+        for k in range(len(stL)):
+            val = f32(stR[k] - stL[k])
+            if val >= min_sc:
+                out_s.append(stS[k])
+                out_e.append(stE[k])
+        stL.clear()
+        stR.clear()
+        stS.clear()
+        stE.clear()
+        stB.clear()
+
+    shift = f32(0.0)
+    best = neg
+    for rix in range(n_runs):
+        lg = f32(l_glob[rix])
+        rg = f32(r_glob[rix])
+        if xdrop > 0 and f32(lg - shift + xdrop) < best:
+            flush()
+            shift = lg
+            best = neg
+        cur_l = f32(lg - shift)
+        cur_r = f32(rg - shift)
+        if cur_r > best:
+            best = cur_r
+        st, en = int(starts[rix]), int(ends[rix])
+        while True:
+            j = len(stL) - 1
+            while j >= 0 and not (stL[j] < cur_l):
+                j = stB[j] if stB[j] >= 0 else j - 1
+            if j >= 0 and stR[j] < cur_r:
+                st = stS[j]
+                cur_l = stL[j]
+                del stL[j:], stR[j:], stS[j:], stE[j:], stB[j:]
+                continue
+            if j < 0:
+                flush()
+                best = cur_r
+            stL.append(cur_l)
+            stR.append(cur_r)
+            stS.append(st)
+            stE.append(en)
+            stB.append(j)
+            break
+    flush()
+    return out_s, out_e
+
+
+@functools.partial(jax.jit, static_argnames=("nof_labels", "capacity"))
+def assign_segment_classes(classes: jax.Array, out_len, segbuf: jax.Array,
+                           *, nof_labels: int, capacity: int) -> jax.Array:
+    """Device majority-vote labeling for host-provided segments -> uint8.
+
+    The labeling half of :func:`mss_classes_device` (pymss.pyx:46-67
+    semantics: majority over classes 1..n with lowest-class ties,
+    in-segment background adoption, raw labels elsewhere), applied to
+    the host stack scan's packed segment buffer ``int32 [1 + 2*capacity]
+    = [count | starts | ends]`` (one host->device upload on slow links).
+    """
+    count = segbuf[0]
+    sstarts = segbuf[1:1 + capacity]
+    sends = segbuf[1 + capacity:]
+    n = classes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels = jnp.where(idx < out_len, classes.astype(jnp.int32), 0)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    sort_starts = jnp.where(valid, sstarts, n)
+    order = jnp.argsort(sort_starts)
+    sstarts_s = sort_starts[order]
+    sends_s = jnp.where(valid, sends, n)[order]
+    sid = jnp.searchsorted(sstarts_s, idx,
+                           side="right").astype(jnp.int32) - 1
+    sid_c = jnp.clip(sid, 0, capacity - 1)
+    in_seg = (sid >= 0) & (idx < sends_s[sid_c])
+    seg_key = jnp.where(in_seg, sid_c, capacity)
+    counts = jnp.stack([
+        jax.ops.segment_sum(
+            ((labels == c) & in_seg).astype(jnp.int32), seg_key,
+            num_segments=capacity + 1)[:capacity]
+        for c in range(1, nof_labels)
+    ])
+    smajor = 1 + jnp.argmax(counts, axis=0).astype(jnp.int32)
+    assigned = jnp.where(in_seg & (labels == 0), smajor[sid_c], labels)
+    return assigned.astype(jnp.uint8)
+
+
 def count_positive_runs(scores) -> int:
     """Number of maximal positive runs (to size ``max_runs``)."""
     pos = jnp.asarray(scores) > 0

@@ -157,11 +157,12 @@ def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
 # slice program covers every slice of a given padded-length bucket (the
 # traced seqblocks shape still varies across length buckets); fetching
 # slice i overlaps with the device computing slices i+1.. (async dispatch).
-# 16 is the measured winner on the tunneled v5e at the flagship shape
-# (min scored latency for a 2 Mbp scan: 454 ms vs 480 @ 8 / 524 @ 40 —
-# larger slices amortize per-dispatch round trips until pipelining is
-# lost when everything lands in one slice).
-SLICE_CHUNKS = 16
+# 4 is the round-4 measured winner on the tunneled v5e at the flagship
+# shape UNDER THE STREAMING MSS ROUTE (2 Mbp scan: trained 309 ms /
+# untrained 388 ms, vs 428/460 @ 16 and worse @ 2): small slices shrink
+# the un-hideable last-slice fetch tail and feed the per-block MSS
+# earlier, until per-dispatch round trips dominate below ~4.
+SLICE_CHUNKS = 4
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
@@ -188,7 +189,18 @@ def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
     packed = jnp.concatenate([
         jax.lax.bitcast_convert_type(maxp, jnp.uint8).reshape(-1),
         jax.lax.bitcast_convert_type(classes, jnp.uint8)])
-    return packed, new_spill
+    # Slice-local positive-run count of the MSS score track: the routing
+    # signal for the auto MSS path.  Fetching this scalar syncs only THIS
+    # slice, so the route decision never stalls the pipeline (runs
+    # crossing slice boundaries double-count by <= 1 per slice — a safe
+    # overestimate for both routing and capacity sizing).
+    mins = jnp.minimum(maxp + jnp.float32(1e-6), jnp.float32(0.99))
+    t_scores = jnp.log(mins / (1 - mins))
+    sc = jnp.where(classes > 0, t_scores, -10 * t_scores)
+    pos = sc > 0
+    runs = jnp.sum((pos & ~jnp.concatenate(
+        [jnp.zeros((1,), bool), pos[:-1]])).astype(jnp.int32))
+    return packed, runs, new_spill
 
 
 def _unpack_scored(packed: np.ndarray,
@@ -276,6 +288,27 @@ class ScoredTrack:
 
         classes, maxp = self.device()
         return _scored_run_count(classes, maxp, jnp.int32(self._out_len))
+
+    def count_runs_early(self, threshold: int) -> int:
+        """Routing run count WITHOUT stalling the pipeline.
+
+        Sums the per-slice run counts in slice order (each scalar fetch
+        syncs only its own slice, so later slices keep computing and the
+        host route's packed fetches can start the moment the total
+        crosses ``threshold``).  Returns an overestimate (boundary runs
+        double-count by <= 1 per slice); on engines whose slices carry no
+        counts (the sharded engine) falls back to the exact full-track
+        count.
+        """
+        slices = self._state[0]
+        if not slices or len(slices[0]) < 2:
+            return self.count_runs()
+        total = 0
+        for ys in slices:
+            total += int(ys[1])
+            if total > threshold:
+                break
+        return total
 
     def host_mss_scores(self) -> Tuple[np.ndarray, np.ndarray]:
         """Fetch + transform route: ``(classes int8 [L], scores f32 [L])``."""

@@ -92,6 +92,77 @@ def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
         max_runs *= 2
 
 
+def apply_mss_candidates(track, options: Options, nof_labels: int,
+                         runs_hint: int) -> Optional[np.ndarray]:
+    """Hybrid MSS: device run collapse -> host stack scan -> device label.
+
+    The production sparse-track route: dense work (score transform, run
+    collapse, majority-vote labeling) runs on device; only the collapsed
+    candidate set (16 B per positive run — ~10 KB for a trained 2 Mbp
+    track) and the final 1 B/bp class array cross the link; the
+    inherently sequential Ruzzo-Tompa stack scan runs as host scalar code
+    in microseconds instead of a latency-bound on-device while-loop
+    (measured ~0.5 ms/run on v5e).  Bit-identical to
+    ``apply_mss_on_device`` (the host scan replicates the device
+    run_body's f32 arithmetic exactly; tests enforce).
+
+    Returns ``None`` on candidate-capacity overflow (the ``runs_hint``
+    undercounted — callers fall back to another route).
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.ops import mss_device
+
+    classes_d, maxp_d = track.device()
+    out_len = track.out_len
+    if classes_d.shape[0] < out_len:
+        # Uncovered tail: the reference scores it as zero-probability rows
+        # (prediction.py:90 zeros + :51-57 -> POSITIVE background score),
+        # so it must participate in the MSS, exactly as in
+        # :func:`apply_mss_on_device`.
+        pad = out_len - classes_d.shape[0]
+        classes_d = jnp.concatenate(
+            [classes_d, jnp.zeros((pad,), classes_d.dtype)])
+        maxp_d = jnp.concatenate([maxp_d, jnp.zeros((pad,), maxp_d.dtype)])
+    capacity = 1 << max(6, math.ceil(math.log2(max(runs_hint + 10, 2))))
+    buf = np.asarray(mss_device.collapse_candidates_packed(
+        classes_d, maxp_d, jnp.int32(out_len), capacity=capacity))
+    n_runs, overflow, starts, ends, l_glob, r_glob = (
+        mss_device.unpack_candidates(buf, capacity))
+    if overflow:
+        return None
+    s0 = math.log(0.99 / (1.0 - 0.99))
+    min_sc = s0 * options.min_mss_len
+    xdrop = s0 * options.xdrop_len * 10.0 if options.xdrop_len > 0 else -1.0
+    seg_s, seg_e = mss_device.mss_stack_from_candidates(
+        starts, ends, l_glob, r_glob, n_runs, min_sc, xdrop)
+    cap2 = 1 << max(6, math.ceil(math.log2(len(seg_s) + 2)))
+    segbuf = np.zeros(1 + 2 * cap2, np.int32)  # one packed h2d upload
+    segbuf[0] = len(seg_s)
+    segbuf[1:1 + len(seg_s)] = seg_s
+    segbuf[1 + cap2:1 + cap2 + len(seg_e)] = seg_e
+    assigned = mss_device.assign_segment_classes(
+        classes_d, jnp.int32(out_len), jnp.asarray(segbuf),
+        nof_labels=nof_labels, capacity=cap2)
+    # Chunked concurrent fetch: the uint8 class array is the route's one
+    # bulk transfer; overlapping 4 sub-fetches hides most of the
+    # per-fetch round-trip on a slow link.  (Fetch the full padded array
+    # and crop on host — an on-device crop would cost its own dispatch
+    # round trip for <= 3% fewer bytes.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = assigned.shape[0]
+    n_chunks = 4 if n >= (1 << 20) else 1
+    bounds = [(k * n // n_chunks, (k + 1) * n // n_chunks)
+              for k in range(n_chunks)]
+    with ThreadPoolExecutor(n_chunks) as ex:
+        parts = list(ex.map(lambda ab: np.asarray(assigned[ab[0]:ab[1]]),
+                            bounds))
+    return np.concatenate(parts)[:out_len]
+
+
 def _scored_run_count(classes, maxp, out_len):
     """Positive-run count of the MSS score track (to size ``max_runs``)."""
     import jax
@@ -158,15 +229,18 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
 
     ``device_mss`` routes the MSS post-processing:
 
-      * ``"auto"`` (production default): dispatch the scored scan once,
-        count the score track's positive runs on device (one scalar
-        fetch), and keep the MSS on chip when the track is sparse — only
-        the final 1 B/bp class array crosses the link — else fetch the
-        packed scored track (pipelined, concurrent) for the host MSS.
+      * ``"auto"`` (production default): on the single-device engine, the
+        STREAMING host route — packed scored slices fetched concurrently
+        behind the chunk-scan compute, per-block Ruzzo-Tompa during the
+        transfers — the measured winner at every track density
+        (benchmarks/mss_route_bench.json).  On the sharded engine
+        (ICI-attached pods), transfer-light routing by track sparsity:
+        sparse tracks take the hybrid device-collapse/host-stack/device-
+        label route (1 B/bp off-chip), noisy tracks the host MSS.
       * ``True``/``"on"``: force the all-on-chip path.
-      * ``False``/``"off"``: force the host path.
+      * ``False``/``"off"``: force the plain host path.
 
-    All three routes are bit-identical on the fixture BEDs (tests); the
+    All routes are bit-identical on the fixture BEDs (tests); the
     softmax (``use_mss=False``) path needs the full probability matrix.
     """
     if engine is None:
@@ -197,13 +271,37 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
             track = engine.scored_tracks(params, onehot)
             if track is None:
                 return zero_window_quirk()
+            if hasattr(engine, "_mss_classes_streaming"):
+                # Single-device engine: the STREAMING host route is the
+                # measured winner at EVERY track density on the single
+                # chip (benchmarks/mss_route_bench.json: trained 2 Mbp
+                # track, interleaved best-of — streaming 431 ms vs pure
+                # device-MSS 590 ms vs hybrid 757 ms; compute floor
+                # 251 ms): the 5 B/bp packed fetch rides entirely behind
+                # the chunk-scan compute, and per-block Ruzzo-Tompa runs
+                # during the transfers, while the transfer-light routes
+                # pay per-program launch round trips that exceed their
+                # byte savings on any link fast enough to hide behind
+                # compute (>~20 MB/s).  Force them with
+                # ``device_mss='on'`` for slower links.
+                return track.host_mss_classes(options, nof_labels)
+            # Sharded engine (ICI-attached pods: device->host hops are
+            # the expensive part, program launches are not): transfer-
+            # light routing by track sparsity.
+            threshold = _auto_max_runs()
             runs = track.count_runs()
-            if runs <= _auto_max_runs():
+            if runs <= threshold:
+                # Sparse track: hybrid device-collapse / host-stack /
+                # device-label route (1 B/bp + ~16 B/run off-chip).
+                out = apply_mss_candidates(track, options, nof_labels,
+                                           runs)
+                if out is not None:
+                    return out
+                # Capacity overflow (hint undercounted): pure device MSS.
                 classes_d, maxp_d = track.device()
                 return apply_mss_on_device(classes_d, maxp_d, options,
-                                           nof_labels, out_len, runs=runs)
-            # Host route: streaming per-block MSS overlapped with the
-            # remaining transfers (whole-array fallback inside).
+                                           nof_labels, out_len)
+            # Noisy track: whole-array host MSS on the fetched track.
             return track.host_mss_classes(options, nof_labels)
         if hasattr(engine, "predict_mss_scores"):
             # Scores are computed inside the engine's fetch workers

@@ -136,3 +136,64 @@ def test_labels_device_jit_capacity_padding():
                                            max_runs=32)
     assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(out, np.float64), host)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_hybrid_candidates_route_matches_pure_device(seed):
+    """The hybrid route (device collapse -> host stack scan -> device
+    labeling) is bit-identical to the all-on-chip MSS — the host scan
+    replicates the device run_body's f32 arithmetic exactly."""
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.predict.postprocess import (apply_mss_candidates,
+                                                 apply_mss_on_device)
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2000, 9000))
+    out_len = n - int(rng.integers(0, 400))
+    classes = rng.integers(0, 5, size=n).astype(np.int8)
+    maxp = rng.uniform(0.2, 1.0, size=n).astype(np.float32)
+    # sparse repeats: zero out most positions so the track has few runs
+    mask = rng.random(n) < 0.9
+    classes[mask] = 0
+    maxp[mask] = rng.uniform(0.9, 1.0, size=int(mask.sum()))
+    options = Options(min_mss_len=20, xdrop_len=10)
+    track_len = out_len
+
+    class FakeTrack:
+        @property
+        def out_len(self):
+            return track_len
+
+        def device(self):
+            return jnp.asarray(classes), jnp.asarray(maxp)
+
+    want = apply_mss_on_device(jnp.asarray(classes), jnp.asarray(maxp),
+                               options, 5, out_len)
+    got = apply_mss_candidates(FakeTrack(), options, 5, runs_hint=n)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got, np.int64),
+                                  np.asarray(want, np.int64))
+
+
+def test_hybrid_candidates_overflow_returns_none():
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.predict.postprocess import apply_mss_candidates
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    classes = rng.integers(0, 5, size=n).astype(np.int8)
+    maxp = rng.uniform(0.2, 1.0, size=n).astype(np.float32)
+
+    class FakeTrack:
+        out_len = n
+
+        def device(self):
+            return jnp.asarray(classes), jnp.asarray(maxp)
+
+    # runs_hint far below the true noisy run count -> capacity overflow
+    out = apply_mss_candidates(FakeTrack(), Options(), 5, runs_hint=1)
+    assert out is None
