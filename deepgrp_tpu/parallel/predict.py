@@ -70,12 +70,19 @@ def _sharded_slice(params, local_blocks, n_windows, chunk0, spills,
                                compute_dtype, score=score,
                                with_head=with_head, fused=fused)
         if score:
-            # Pack (maxp f32, classes int8) into one uint8 buffer per
+            # Pack (maxp, classes int8) into one uint8 buffer per
             # device (same bit transport as the single-device engine's
-            # _scan_slice): one fetch per slice instead of two.
+            # _scan_slice, incl. the lossless 2-byte bf16 maxp fast-mode
+            # transport): one fetch per slice instead of two.
             classes, maxp, *rest = out
+            if compute_dtype == jnp.bfloat16:
+                maxp_bytes = jax.lax.bitcast_convert_type(
+                    maxp.astype(jnp.bfloat16), jnp.uint8).reshape(-1)
+            else:
+                maxp_bytes = jax.lax.bitcast_convert_type(
+                    maxp, jnp.uint8).reshape(-1)
             packed = jnp.concatenate([
-                jax.lax.bitcast_convert_type(maxp, jnp.uint8).reshape(-1),
+                maxp_bytes,
                 jax.lax.bitcast_convert_type(classes, jnp.uint8)])
             out = (packed, *rest)
         return tuple(y[None] for y in out)
@@ -149,9 +156,11 @@ def _expand_code_shards(codes, mesh: Mesh, n_blocks: int, step: int):
     return shard(codes)
 
 
-@partial(jax.jit, static_argnames=("rows", "n_dev", "mesh"))
+@partial(jax.jit,
+         static_argnames=("rows", "n_dev", "mesh", "maxp_itemsize"))
 def _assemble_scored_sharded(packed_slices, heads, tails, rows: int,
-                             n_dev: int, mesh: Mesh):
+                             n_dev: int, mesh: Mesh,
+                             maxp_itemsize: int = 4):
     """Device-side assembly of the full ``(classes, maxp)`` track from the
     sharded packed slices, INCLUDING the shard-boundary correction (each
     region head max-combined with the left neighbor's final spill — the
@@ -163,10 +172,15 @@ def _assemble_scored_sharded(packed_slices, heads, tails, rows: int,
     cls_parts = []
     maxp_parts = []
     for p in packed_slices:
-        maxp_parts.append(jax.lax.bitcast_convert_type(
-            p[:, :4 * rows].reshape(n_dev, rows, 4), jnp.float32))
-        cls_parts.append(jax.lax.bitcast_convert_type(p[:, 4 * rows:],
-                                                      jnp.int8))
+        if maxp_itemsize == 2:
+            maxp_parts.append(jax.lax.bitcast_convert_type(
+                p[:, :2 * rows].reshape(n_dev, rows, 2),
+                jnp.bfloat16).astype(jnp.float32))
+        else:
+            maxp_parts.append(jax.lax.bitcast_convert_type(
+                p[:, :4 * rows].reshape(n_dev, rows, 4), jnp.float32))
+        cls_parts.append(jax.lax.bitcast_convert_type(
+            p[:, maxp_itemsize * rows:], jnp.int8))
     classes = jnp.concatenate(cls_parts, axis=1).reshape(-1)
     maxp = jnp.concatenate(maxp_parts, axis=1).reshape(-1)
     region_rows = classes.shape[0] // n_dev
@@ -218,6 +232,8 @@ class ShardedPredictionEngine:
         k = -(-model.config.vecsize // self.step_size)
         self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
+        # bf16 fast mode ships maxp as 2 lossless bytes (see _scan_slice).
+        self._maxp_itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
         self.n_devices = mesh.shape[DATA_AXIS]
         self._k = k
         self._overlap = max(model.config.vecsize - self.step_size, 0)
@@ -411,7 +427,8 @@ class ShardedPredictionEngine:
         slices, heads, tails, rows_per_slice, _ = state
         return _assemble_scored_sharded(tuple(s[0] for s in slices), heads,
                                         tails, rows_per_slice,
-                                        self.n_devices, self.mesh)
+                                        self.n_devices, self.mesh,
+                                        maxp_itemsize=self._maxp_itemsize)
 
     def predict_scored_device(self, params, seq_repr: np.ndarray):
         """Device-resident scored track ``(classes, maxp, rows)`` — the
@@ -492,8 +509,8 @@ class ShardedPredictionEngine:
             def fetch(i):
                 packed_s = np.asarray(slices[i][0])
                 for d in range(self.n_devices):
-                    classes_s, maxp_s = _unpack_scored(packed_s[d],
-                                                       rows_per_slice)
+                    classes_s, maxp_s = _unpack_scored(
+                        packed_s[d], rows_per_slice, self._maxp_itemsize)
                     place(d * region_rows + i * rows_per_slice,
                           classes_s, maxp_s)
 
@@ -505,8 +522,8 @@ class ShardedPredictionEngine:
             for i in range(len(slices)):
                 packed_s = _fetch(slices[i][0])
                 for d in range(self.n_devices):
-                    classes_s, maxp_s = _unpack_scored(packed_s[d],
-                                                       rows_per_slice)
+                    classes_s, maxp_s = _unpack_scored(
+                        packed_s[d], rows_per_slice, self._maxp_itemsize)
                     place(d * region_rows + i * rows_per_slice,
                           classes_s, maxp_s)
         del slices  # free the device buffers

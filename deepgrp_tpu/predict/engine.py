@@ -186,8 +186,22 @@ def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
     if not score:
         return out
     classes, maxp, new_spill = out
+    if compute_dtype == jnp.bfloat16:
+        # 2-byte maxp transport for the fast mode: the packed slice
+        # shrinks from 5 to 3 B/bp (the bf16 engine is transfer-bound:
+        # 268k w/s compute vs ~111k e2e at 5 B/bp).  The downcast is the
+        # mode's PRECISION CONTRACT, not an extra loss: the probabilities
+        # are nominally bfloat16 (XLA's excess-precision fusion sometimes
+        # materializes them wider, which this normalizes away —
+        # _scan_predict rounds identically so every bf16 route agrees
+        # bit-for-bit; quality is bounded by the bf16 contract tests).
+        maxp_bytes = jax.lax.bitcast_convert_type(
+            maxp.astype(jnp.bfloat16), jnp.uint8).reshape(-1)
+    else:
+        maxp_bytes = jax.lax.bitcast_convert_type(maxp,
+                                                  jnp.uint8).reshape(-1)
     packed = jnp.concatenate([
-        jax.lax.bitcast_convert_type(maxp, jnp.uint8).reshape(-1),
+        maxp_bytes,
         jax.lax.bitcast_convert_type(classes, jnp.uint8)])
     # Slice-local positive-run count of the MSS score track: the routing
     # signal for the auto MSS path.  Fetching this scalar syncs only THIS
@@ -203,41 +217,57 @@ def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
     return packed, runs, new_spill
 
 
-def _unpack_scored(packed: np.ndarray,
-                   rows: int) -> Tuple[np.ndarray, np.ndarray]:
+def _unpack_scored(packed: np.ndarray, rows: int,
+                   maxp_itemsize: int = 4) -> Tuple[np.ndarray, np.ndarray]:
     """Inverse of the ``_scan_slice`` scored packing (host side).
 
     Bit-exact: the device bitcast emits little-endian byte order, so the
     host view must decode little-endian too (asserted below; every
     realistic TPU host is little-endian, but the assumption is part of
     the packing contract and validated by the scan-vs-fused and reference
-    parity tests, which compare through this path).
+    parity tests, which compare through this path).  ``maxp_itemsize=2``
+    decodes the bf16 fast-mode transport (numpy has no bfloat16: widen
+    the u16 payload into the f32 exponent/mantissa head — exact).
     """
     assert sys.byteorder == "little", (
         "scored packing assumes a little-endian host (device bitcast "
         "bytes are little-endian)")
-    maxp = packed[:4 * rows].view(np.float32)
-    classes = packed[4 * rows:].view(np.int8)
+    if maxp_itemsize == 2:
+        u16 = packed[:2 * rows].view(np.uint16)
+        maxp = (u16.astype(np.uint32) << 16).view(np.float32)
+    else:
+        maxp = packed[:4 * rows].view(np.float32)
+    classes = packed[maxp_itemsize * rows:].view(np.int8)
     return classes, maxp
 
 
-@partial(jax.jit, static_argnames=("rows",))
-def _assemble_scored_slices(packed_slices, spill, rows: int):
+@partial(jax.jit, static_argnames=("rows", "maxp_itemsize"))
+def _assemble_scored_slices(packed_slices, spill, rows: int,
+                            maxp_itemsize: int = 4):
     """Device-side inverse of the ``_scan_slice`` scored packing over all
     slices: one ``(classes int8 [total], maxp f32 [total])`` pair with the
     final spill rows scored and appended — the same track
     ``_scan_predict(score=True)`` produces, but built from the *already
     dispatched* pipeline slices, so the auto device-MSS route never
-    recomputes the model forward.
+    recomputes the model forward.  ``maxp_itemsize=2`` decodes the bf16
+    fast-mode transport (lossless, see ``_scan_slice``).
     """
     classes = jnp.concatenate([
-        jax.lax.bitcast_convert_type(p[4 * rows:], jnp.int8)
+        jax.lax.bitcast_convert_type(p[maxp_itemsize * rows:], jnp.int8)
         for p in packed_slices
     ])
-    maxp = jnp.concatenate([
-        jax.lax.bitcast_convert_type(p[:4 * rows].reshape(rows, 4),
-                                     jnp.float32) for p in packed_slices
-    ])
+    if maxp_itemsize == 2:
+        maxp = jnp.concatenate([
+            jax.lax.bitcast_convert_type(
+                p[:2 * rows].reshape(rows, 2),
+                jnp.bfloat16).astype(jnp.float32) for p in packed_slices
+        ])
+    else:
+        maxp = jnp.concatenate([
+            jax.lax.bitcast_convert_type(p[:4 * rows].reshape(rows, 4),
+                                         jnp.float32)
+            for p in packed_slices
+        ])
     if spill.shape[0]:
         classes = jnp.concatenate(
             [classes, spill.argmax(axis=1).astype(jnp.int8)])
@@ -375,6 +405,11 @@ def _scan_predict(params, seqblocks: jax.Array, n_windows: jax.Array,
             classes = jnp.concatenate(
                 [classes, final_spill.argmax(axis=1).astype(jnp.int8)])
             maxp = jnp.concatenate([maxp, final_spill.max(axis=1)])
+        if compute_dtype == jnp.bfloat16:
+            # Normalize to the fast mode's nominal precision so this
+            # route agrees bit-for-bit with the 2-byte packed transport
+            # (see _scan_slice).
+            maxp = maxp.astype(jnp.bfloat16).astype(jnp.float32)
         return classes, maxp
     return scan_chunk_range(
         params, seqblocks, n_windows, jnp.int32(0), make_spill0(model, step),
@@ -420,6 +455,8 @@ class PredictionEngine:
         k = -(-model.config.vecsize // self.step_size)
         self.batch_size = max(int(batch_size), k)
         self.compute_dtype = compute_dtype
+        # bf16 fast mode ships maxp as 2 lossless bytes (see _scan_slice).
+        self._maxp_itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
         self.fused = resolve_rnn_kernel(rnn_kernel, model, compute_dtype)
         self._fused_explicit = rnn_kernel == "fused"
 
@@ -587,7 +624,8 @@ class PredictionEngine:
         del slices  # free the device buffers
         pos = 0
         for packed in fetched:
-            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice,
+                                               self._maxp_itemsize)
             take = min(out_len - pos, rows_per_slice)
             if take > 0:
                 out_classes[pos:pos + take] = classes_s[:take]
@@ -621,7 +659,8 @@ class PredictionEngine:
     def _assemble_scored(self, state):
         slices, spill, rows_per_slice = state
         return _assemble_scored_slices(tuple(s[0] for s in slices), spill,
-                                       rows_per_slice)
+                                       rows_per_slice,
+                                       maxp_itemsize=self._maxp_itemsize)
 
     def predict_mss_scores(self, params, onehot: np.ndarray
                            ) -> Tuple[np.ndarray, np.ndarray]:
@@ -673,7 +712,8 @@ class PredictionEngine:
 
         def fetch(i):
             packed = np.asarray(slices[i][0])
-            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice,
+                                               self._maxp_itemsize)
             pos = i * rows_per_slice
             take = min(out_len - pos, rows_per_slice)
             if take > 0:
@@ -739,7 +779,8 @@ class PredictionEngine:
 
         def fetch(i):
             packed = np.asarray(slices[i][0])
-            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice)
+            classes_s, maxp_s = _unpack_scored(packed, rows_per_slice,
+                                               self._maxp_itemsize)
             pos = i * rows_per_slice
             take = min(out_len - pos, rows_per_slice)
             if take > 0:

@@ -197,6 +197,29 @@ def test_predict_sequence_auto_routes_agree(small_model, random_dna,
                                   np.asarray(want, np.int64))
 
 
+def test_bf16_packed_transport_lossless(small_model, random_dna):
+    # The bf16 fast mode ships max-probs as 2 bytes at the mode's nominal
+    # precision; every bf16 route (host-fetched, device-assembled,
+    # unpacked device) must agree bit-for-bit after the normalization.
+    options, model, params = small_model
+    _, onehot = encoding.one_hot_encode_dna_sequence(
+        random_dna(700, alphabet="ACGT", seed=77))
+    eng = PredictionEngine(model, batch_size=options.batch_size,
+                           step_size=10, compute_dtype=jnp.bfloat16)
+    cls_a, maxp_a = eng.predict_scored(params, onehot)
+    cls_d, maxp_d, rows = eng.predict_scored_device(params, onehot)
+    n = min(len(cls_a), rows)
+    np.testing.assert_array_equal(cls_a[:n], np.asarray(cls_d)[:n])
+    np.testing.assert_array_equal(maxp_a[:n], np.asarray(maxp_d)[:n])
+    # the assembled device track decodes the same bytes on device
+    track = eng.scored_tracks(params, onehot)
+    cls_t, maxp_t = track.device()
+    np.testing.assert_array_equal(np.asarray(cls_t)[:n],
+                                  np.asarray(cls_d)[:n])
+    np.testing.assert_array_equal(np.asarray(maxp_t)[:n],
+                                  np.asarray(maxp_d)[:n])
+
+
 def test_streaming_host_mss_route_matches(small_model, random_dna,
                                           monkeypatch):
     # Multi-slice noisy track through the streaming host route (auto with
