@@ -189,6 +189,8 @@ def _assemble_scored_sharded(packed_slices, heads, tails, rows: int,
         combined = jnp.maximum(heads[1:], tails[:-1])
         cls_b = combined.argmax(-1).astype(jnp.int8).reshape(-1)
         maxp_b = combined.max(-1).reshape(-1)
+        if maxp_itemsize == 2:
+            maxp_b = maxp_b.astype(jnp.bfloat16).astype(jnp.float32)
         # Region-head rows of devices 1..n-1 are the only in-scan values
         # not final at a shard boundary; overwrite them with the combined
         # scores via one scatter over the stacked row indices.
@@ -198,9 +200,12 @@ def _assemble_scored_sharded(packed_slices, heads, tails, rows: int,
         maxp = maxp.at[idx].set(maxp_b)
     if overlap:
         tail = tails[-1]
+        tail_max = tail.max(-1)
+        if maxp_itemsize == 2:
+            tail_max = tail_max.astype(jnp.bfloat16).astype(jnp.float32)
         classes = jnp.concatenate([classes,
                                    tail.argmax(-1).astype(jnp.int8)])
-        maxp = jnp.concatenate([maxp, tail.max(-1)])
+        maxp = jnp.concatenate([maxp, tail_max])
     # Replicate the assembled track (an all-gather over ICI): the
     # downstream MSS is a sequential while-loop — running it over a
     # SHARDED array would drag a collective into every iteration (on the
@@ -481,16 +486,23 @@ class ShardedPredictionEngine:
         else:
             out_vals = np.zeros(out_len, np.float32)
 
-        def place(lo: int, cls: np.ndarray, maxp: np.ndarray) -> None:
+        def place(lo: int, cls: np.ndarray, maxp: np.ndarray,
+                  normalize: bool = False) -> None:
             hi = min(lo + cls.shape[0], out_len)
             if hi <= lo:
                 return
+            mp = maxp[:hi - lo]
+            if normalize and self._maxp_itemsize == 2:
+                # Boundary/tail rows arrive as raw f32; normalize to the
+                # bf16 fast mode's nominal precision like the packed rows.
+                from deepgrp_tpu.predict.engine import _round_bf16_host
+
+                mp = _round_bf16_host(mp)
             out_classes[lo:hi] = cls[:hi - lo]
             if transform:
-                out_vals[lo:hi] = mss_score_transform(cls[:hi - lo],
-                                                      maxp[:hi - lo])
+                out_vals[lo:hi] = mss_score_transform(cls[:hi - lo], mp)
             else:
-                out_vals[lo:hi] = maxp[:hi - lo]
+                out_vals[lo:hi] = mp
 
         region_rows = chunks_per_dev * self.batch_size * self.step_size
         boundary = None
@@ -531,12 +543,12 @@ class ShardedPredictionEngine:
             cls_b, maxp_b = boundary
             for d in range(1, self.n_devices):
                 place(d * region_rows, cls_b[d, :self._overlap],
-                      maxp_b[d, :self._overlap])
+                      maxp_b[d, :self._overlap], normalize=True)
             # Global tail: the last device's spill, scored on host.
             tail_last = _fetch(tails)[-1]
             place(self.n_devices * region_rows,
                   tail_last.argmax(axis=1).astype(np.int8),
-                  tail_last.max(axis=1).astype(np.float32))
+                  tail_last.max(axis=1).astype(np.float32), normalize=True)
             return out_classes, out_vals
         # Host fallback: re-score region heads after combining the left
         # neighbor's spill; the last device's spill scores the global tail.
@@ -551,5 +563,5 @@ class ShardedPredictionEngine:
             if d + 1 < self.n_devices and heads is not None:
                 combined = np.maximum(combined, heads[d + 1, :hi - lo])
             place(lo, combined.argmax(axis=1).astype(np.int8),
-                  combined.max(axis=1).astype(np.float32))
+                  combined.max(axis=1).astype(np.float32), normalize=True)
         return out_classes, out_vals

@@ -269,9 +269,12 @@ def _assemble_scored_slices(packed_slices, spill, rows: int,
             for p in packed_slices
         ])
     if spill.shape[0]:
+        spill_max = spill.max(axis=1)
+        if maxp_itemsize == 2:
+            spill_max = spill_max.astype(jnp.bfloat16).astype(jnp.float32)
         classes = jnp.concatenate(
             [classes, spill.argmax(axis=1).astype(jnp.int8)])
-        maxp = jnp.concatenate([maxp, spill.max(axis=1)])
+        maxp = jnp.concatenate([maxp, spill_max])
     return classes, maxp
 
 
@@ -365,6 +368,15 @@ class ScoredTrack:
                                         classes.astype(np.int64),
                                         nof_labels, options.min_mss_len,
                                         options.xdrop_len)
+
+
+def _round_bf16_host(maxp: np.ndarray) -> np.ndarray:
+    """Round f32 max-probs to the bf16 fast mode's nominal precision
+    (host side; matches the device ``astype(bfloat16)`` normalization so
+    spill/boundary rows agree with the packed transport bit-for-bit)."""
+    import ml_dtypes
+
+    return maxp.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
 def mss_score_transform(classes: np.ndarray,
@@ -634,8 +646,11 @@ class PredictionEngine:
         spill_h = np.asarray(spill)
         hi = min(pos + spill_h.shape[0], out_len)
         if hi > pos:
+            spill_max = spill_h[:hi - pos].max(axis=1)
+            if self._maxp_itemsize == 2:
+                spill_max = _round_bf16_host(spill_max)
             out_classes[pos:hi] = spill_h[:hi - pos].argmax(axis=1)
-            out_maxp[pos:hi] = spill_h[:hi - pos].max(axis=1)
+            out_maxp[pos:hi] = spill_max
         return out_classes, out_maxp
 
     def scored_tracks(self, params,
@@ -752,9 +767,11 @@ class PredictionEngine:
                 hi = min(pos + spill_h.shape[0], out_len)
                 if hi > pos:
                     cls = spill_h[:hi - pos].argmax(axis=1).astype(np.int8)
+                    spill_max = spill_h[:hi - pos].max(axis=1)
+                    if self._maxp_itemsize == 2:
+                        spill_max = _round_bf16_host(spill_max)
                     out_classes[pos:hi] = cls
-                    out_scores[pos:hi] = mss_score_transform(
-                        cls, spill_h[:hi - pos].max(axis=1))
+                    out_scores[pos:hi] = mss_score_transform(cls, spill_max)
                 if hi < out_len:
                     out_scores[hi:] = zero_fill
             if out_len > block_start:
@@ -797,9 +814,11 @@ class PredictionEngine:
             hi = min(pos + spill_h.shape[0], out_len)
             if hi > pos:
                 cls = spill_h[:hi - pos].argmax(axis=1).astype(np.int8)
+                spill_max = spill_h[:hi - pos].max(axis=1)
+                if self._maxp_itemsize == 2:
+                    spill_max = _round_bf16_host(spill_max)
                 out_classes[pos:hi] = cls
-                out_scores[pos:hi] = mss_score_transform(
-                    cls, spill_h[:hi - pos].max(axis=1))
+                out_scores[pos:hi] = mss_score_transform(cls, spill_max)
             if hi < out_len:
                 out_scores[hi:] = zero_fill
         return out_classes, out_scores

@@ -172,6 +172,25 @@ def test_sharded_device_mss_routes_match_host(setup, seq_len):
                                   np.asarray(want, np.int64))
 
 
+def test_sharded_bf16_packed_transport_matches_single(setup):
+    # The 3 B/bp bf16 fast-mode transport on the sharded engine decodes
+    # to exactly the single-device engine's (normalized) scored track.
+    import jax.numpy as jnp
+
+    options, model, params = setup
+    onehot = make_onehot(4000, seed=123)
+    mesh = make_mesh()
+    sharded = ShardedPredictionEngine(model, mesh, batch_size=16,
+                                      step_size=10,
+                                      compute_dtype=jnp.bfloat16)
+    single = PredictionEngine(model, batch_size=16, step_size=10,
+                              compute_dtype=jnp.bfloat16)
+    c_sh, m_sh = sharded.predict_scored(params, onehot)
+    c_si, m_si = single.predict_scored(params, onehot)
+    np.testing.assert_array_equal(c_sh, c_si)
+    np.testing.assert_array_equal(m_sh, m_si)
+
+
 def test_sharded_scored_partial_device_coverage(setup):
     # Window count that leaves trailing devices fully masked and one device
     # partially masked: boundary spills at the real/masked frontier must
