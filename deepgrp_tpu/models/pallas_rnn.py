@@ -479,7 +479,11 @@ def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 512,
         DeepGRP head consumes (models/model.py forward_logits).
     """
     if time_block is None:
-        time_block = 16 if out_dtype == jnp.bfloat16 else _TIME_BLOCK
+        import os
+
+        default_tb = 16 if out_dtype == jnp.bfloat16 else _TIME_BLOCK
+        time_block = int(os.environ.get("DEEPGRP_GRU_TIME_BLOCK",
+                                        default_tb))
     if _CODE_COLS % time_block:
         raise ValueError(
             f"time_block must divide {_CODE_COLS} (codes lane tile); "
