@@ -168,7 +168,10 @@ def run_parallel_trials(base_options: Options,
     # improvement scatter updates trial slices in place.
     best_params = jax.tree.map(np.array, jax.device_get(params))
     history: List[np.ndarray] = []
-    patience = options.early_stopping_th
+    # Patience < 1 would freeze every trial before epoch 1's validation
+    # is ever recorded (val_loss=inf, untrained params); clamp so the
+    # first epoch always counts, matching the sequential driver.
+    patience = max(int(options.early_stopping_th), 1)
     since_best = np.zeros(n_trials, np.int32)
     stopped_epoch = np.full(n_trials, 0, np.int64)
 

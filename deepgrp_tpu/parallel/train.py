@@ -28,9 +28,17 @@ from deepgrp_tpu.train.training import categorical_crossentropy
 def _make_device_step(model: DeepGRPModel,
                       optimizer: optax.GradientTransformation,
                       options: Options, train_sampler: BatchSampler,
-                      n_dev: int):
+                      n_dev: int, fused: bool = False):
     """Per-device step body run inside ``shard_map`` (sample local slice,
-    local grads, ``pmean`` over ICI, replicated update)."""
+    local grads, ``pmean`` over ICI, replicated update).
+
+    ``fused=True`` takes the Pallas custom-VJP train-kernel path
+    (models/pallas_rnn_train.py, the measured 1.64x single-chip winner):
+    ``fwd`` must then be the compact CODES buffer ``int [L]`` (see
+    ``train.training.codes_from_onehot_rows``) — each device slices its
+    local code windows and runs the fused fwd+bwd recurrence; the
+    ``pmean`` all-reduce over ICI is unchanged.
+    """
     if train_sampler.batch_size % n_dev:
         raise ValueError(
             f"batch_size {train_sampler.batch_size} not divisible by "
@@ -53,13 +61,25 @@ def _make_device_step(model: DeepGRPModel,
             return jax.lax.dynamic_slice(buf, (start, 0),
                                          (vecsize, buf.shape[1]))
 
-        x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
         y = jax.vmap(lambda s: cut(lbl, s))(starts).astype(jnp.float32)
+        if fused:
+            from deepgrp_tpu.models.model import (
+                forward_logits_from_codes_train)
 
-        def loss_fn(p):
-            logits = model.apply_logits(p, x, deterministic=False,
-                                        dropout_key=key_dropout)
-            return categorical_crossentropy(logits, y)
+            codes = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                fwd, (s,), (vecsize,)))(starts)
+
+            def loss_fn(p):
+                logits = forward_logits_from_codes_train(
+                    p, codes, model.config, dropout_key=key_dropout)
+                return categorical_crossentropy(logits, y)
+        else:
+            x = jax.vmap(lambda s: cut(fwd, s))(starts).astype(jnp.float32)
+
+            def loss_fn(p):
+                logits = model.apply_logits(p, x, deterministic=False,
+                                            dropout_key=key_dropout)
+                return categorical_crossentropy(logits, y)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -74,16 +94,17 @@ def _make_device_step(model: DeepGRPModel,
 def make_dp_train_step(model: DeepGRPModel,
                        optimizer: optax.GradientTransformation,
                        mesh: Mesh, options: Options,
-                       train_sampler: BatchSampler):
+                       train_sampler: BatchSampler, fused: bool = False):
     """Build a jitted data-parallel train step.
 
     The per-device batch is ``batch_size // n_devices`` (``batch_size`` must
     divide evenly).  Returns
     ``step(params, opt_state, key, fwd, lbl, candidates, lengths)
-    -> (params, opt_state, loss)`` where data arrays are replicated.
+    -> (params, opt_state, loss)`` where data arrays are replicated
+    (``fwd`` is the compact codes buffer when ``fused``).
     """
     device_step = _make_device_step(model, optimizer, options, train_sampler,
-                                    mesh.shape[DATA_AXIS])
+                                    mesh.shape[DATA_AXIS], fused=fused)
     sharded = jax.shard_map(
         device_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
@@ -95,7 +116,8 @@ def make_dp_train_step(model: DeepGRPModel,
 def make_dp_train_epoch(model: DeepGRPModel,
                         optimizer: optax.GradientTransformation,
                         mesh: Mesh, options: Options,
-                        train_sampler: BatchSampler, n_steps: int):
+                        train_sampler: BatchSampler, n_steps: int,
+                        fused: bool = False):
     """Data-parallel whole-epoch program: ``n_steps`` DP steps as one
     ``lax.scan`` inside the ``shard_map`` — one dispatch per epoch (see
     ``train/training.py:_train_epoch``), with the per-step ``pmean``
@@ -103,10 +125,12 @@ def make_dp_train_epoch(model: DeepGRPModel,
     per step, then per-device ``fold_in``) matches the per-step driver.
 
     Returns ``epoch(params, opt_state, key, fwd, lbl, candidates, lengths)
-    -> (params, opt_state, key, losses [n_steps])``.
+    -> (params, opt_state, key, losses [n_steps])``; with ``fused`` the
+    ``fwd`` argument is the compact codes buffer and every device runs
+    the Pallas custom-VJP recurrence kernels inside the scan.
     """
     device_step = _make_device_step(model, optimizer, options, train_sampler,
-                                    mesh.shape[DATA_AXIS])
+                                    mesh.shape[DATA_AXIS], fused=fused)
 
     def device_epoch(params, opt_state, key, fwd, lbl, candidates, lengths):
         def body(carry, _):

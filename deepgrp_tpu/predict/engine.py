@@ -195,6 +195,11 @@ def _scan_slice(params, seqblocks: jax.Array, n_windows: jax.Array,
         # materializes them wider, which this normalizes away —
         # _scan_predict rounds identically so every bf16 route agrees
         # bit-for-bit; quality is bounded by the bf16 contract tests).
+        # Round maxp to the transported bf16 precision BEFORE the run
+        # count below, so the routing signal is computed from exactly the
+        # track every consumer sees (a pre-rounding count could flip the
+        # score sign either way near p~0.5 and undercount).
+        maxp = maxp.astype(jnp.bfloat16).astype(jnp.float32)
         maxp_bytes = jax.lax.bitcast_convert_type(
             maxp.astype(jnp.bfloat16), jnp.uint8).reshape(-1)
     else:
@@ -368,6 +373,134 @@ class ScoredTrack:
                                         classes.astype(np.int64),
                                         nof_labels, options.min_mss_len,
                                         options.xdrop_len)
+
+    def mss_classes_auto(self, options, nof_labels: int) -> np.ndarray:
+        """Weather-adaptive auto MSS route (single-device engines).
+
+        Tries the streaming host route with a link probe
+        (``_mss_classes_streaming(adaptive=True)``); when the probe says
+        the link is below the streaming crossover, re-routes to the
+        transfer-light hybrid collapse/host-stack/device-label route
+        (1 B/bp + 16 B/run off-chip) — the already-dispatched slices are
+        assembled ON DEVICE, so no forward compute is repeated.  All
+        routes are bit-identical (tests/test_predict.py); only wall time
+        changes.  VERDICT r4 item 1: the r04 driver-run e2e fell from
+        132x to 89x purely on link weather because nothing re-routed.
+        """
+        from deepgrp_tpu.predict.postprocess import (apply_mss_candidates,
+                                                     apply_mss_on_device)
+
+        if (hasattr(self._engine, "_mss_classes_streaming")
+                and options.xdrop_len > 0):
+            out = self._engine._mss_classes_streaming(
+                self._state, self._out_len, options, nof_labels,
+                adaptive=True)
+            if out is not None:
+                return out
+            # Slow link.  Full per-slice run count (slice-order scalar
+            # fetches; tiny) sizes the candidate capacity — a safe
+            # overestimate (boundary runs double-count <= 1 per slice).
+            runs = self.count_runs_early(threshold=1 << 62)
+            # A candidate buffer bigger than the streamed track would
+            # move MORE bytes than streaming: stream anyway (bounded:
+            # the bytes simply must cross).
+            itemsize = getattr(self._engine, "_maxp_itemsize", 4)
+            if 16 * runs < (itemsize + 1) * self._out_len:
+                out = apply_mss_candidates(self, options, nof_labels, runs)
+                if out is not None:
+                    return out
+                classes_d, maxp_d = self.device()
+                return apply_mss_on_device(classes_d, maxp_d, options,
+                                           nof_labels, self._out_len)
+            return self._engine._mss_classes_streaming(
+                self._state, self._out_len, options, nof_labels)
+        return self.host_mss_classes(options, nof_labels)
+
+
+class LinkMonitor:
+    """EWMA of observed device->host bulk-transfer throughput (bytes/s).
+
+    Fed by the streaming MSS route's per-call probe (one timed packed-slice
+    fetch whose compute is already synced, so the measurement is pure
+    transfer).  The EWMA leans toward the newest sample (alpha=0.7): the
+    tunnel's weather changes on minute scales, so the latest probe is the
+    best predictor, while the memory smooths one-off jitter.
+    """
+
+    def __init__(self, alpha: float = 0.7):
+        self._alpha = float(alpha)
+        self._rate: Optional[float] = None
+
+    def record(self, nbytes: int, seconds: float) -> None:
+        if seconds <= 0 or nbytes < (1 << 10):
+            return  # sub-KB fetches measure round-trip, not bandwidth
+        sample = nbytes / seconds
+        if self._rate is None:
+            self._rate = sample
+        else:
+            self._rate = self._alpha * sample + (1 - self._alpha) * self._rate
+
+    def rate(self) -> Optional[float]:
+        """Estimated link throughput in bytes/s (None before any probe)."""
+        return self._rate
+
+    def reset(self) -> None:
+        self._rate = None
+
+
+#: Process-wide link estimate, shared across engines/chromosomes so a
+#: whole-genome scan converges on a route after the first probe.
+LINK_MONITOR = LinkMonitor()
+
+_SIM_LINK_LOCK = None
+
+
+def _sim_fetch(device_array) -> np.ndarray:
+    """``np.asarray`` with an optional simulated link throttle.
+
+    ``DEEPGRP_SIM_LINK_BPS=<bytes/s>`` makes every bulk fetch take at
+    least ``nbytes / bps`` seconds, SERIALIZED across threads (the real
+    tunnel is mostly single-streamed — memory: concurrent fetches gain
+    only ~1.4x), so tests and benches can reproduce the link's
+    multi-minute slow phases deterministically.  Unset/0 = no throttle.
+    """
+    import os
+    import time
+
+    bps = float(os.environ.get("DEEPGRP_SIM_LINK_BPS", "0") or 0)
+    if bps <= 0:
+        return np.asarray(device_array)
+    global _SIM_LINK_LOCK
+    if _SIM_LINK_LOCK is None:
+        import threading
+
+        _SIM_LINK_LOCK = threading.Lock()
+    with _SIM_LINK_LOCK:
+        t0 = time.perf_counter()
+        out = np.asarray(device_array)
+        remaining = out.nbytes / bps - (time.perf_counter() - t0)
+        if remaining > 0:
+            time.sleep(remaining)
+    return out
+
+
+def _stream_min_rate(maxp_itemsize: int) -> float:
+    """Minimum link throughput (bytes/s) for the streaming host MSS route.
+
+    The measured crossover on the tunneled v5e is ~20 MB/s for the
+    5 B/bp f32 transport (benchmarks/mss_route_bench.json "policy"):
+    above it the packed fetches hide behind compute and streaming beats
+    every transfer-light route; below it the fetch tail dominates and
+    the hybrid collapse/stack/label route (1 B/bp) wins.  The bf16
+    3 B/bp transport crosses proportionally lower.  Override in MB/s
+    with ``DEEPGRP_MSS_STREAM_MIN_MBPS``.
+    """
+    import os
+
+    mbps = os.environ.get("DEEPGRP_MSS_STREAM_MIN_MBPS")
+    if mbps is not None:
+        return float(mbps) * 1e6
+    return 20e6 * (maxp_itemsize + 1) / 5.0
 
 
 def _round_bf16_host(maxp: np.ndarray) -> np.ndarray:
@@ -632,7 +765,7 @@ class PredictionEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(len(slices), 8)) as ex:
-            fetched = list(ex.map(lambda s: np.asarray(s[0]), slices))
+            fetched = list(ex.map(lambda s: _sim_fetch(s[0]), slices))
         del slices  # free the device buffers
         pos = 0
         for packed in fetched:
@@ -701,7 +834,9 @@ class PredictionEngine:
         return track.host_mss_scores()
 
     def _mss_classes_streaming(self, state, out_len: int, options,
-                               nof_labels: int) -> np.ndarray:
+                               nof_labels: int,
+                               adaptive: bool = False
+                               ) -> Optional[np.ndarray]:
         """Host MSS overlapped with the device->host transfers.
 
         The packed slices are fetched concurrently (as in
@@ -713,6 +848,17 @@ class PredictionEngine:
         MSS is already done.  Bit-identical to the whole-array host path
         (tests/test_mss.py streaming property tests + the route-equality
         tests in test_predict.py).
+
+        ``adaptive=True`` probes the link before committing: slice 0's
+        compute is synced via its run-count scalar (the RTT hides behind
+        the later slices' still-running compute), then its packed buffer
+        is fetched TIMED — a pure-transfer measurement fed to
+        :data:`LINK_MONITOR`.  If the estimated throughput is below the
+        streaming crossover (:func:`_stream_min_rate`), returns ``None``
+        so the caller re-routes to a transfer-light path (the slices stay
+        dispatched; only what crosses the link changes).  The probe's
+        good-weather cost is ~nil: slice 0 would be fetched first anyway,
+        it is just not concurrent with slice 1.
         """
         import math
         from concurrent.futures import ThreadPoolExecutor
@@ -720,13 +866,26 @@ class PredictionEngine:
         from deepgrp_tpu.ops import mss as mss_lib
 
         slices, spill, rows_per_slice = state
+        probe: Optional[np.ndarray] = None
+        if adaptive and len(slices) >= 3 and len(slices[0]) >= 2:
+            import time as _time
+
+            int(slices[0][1])  # sync slice 0's compute (scalar fetch)
+            t0 = _time.perf_counter()
+            probe = _sim_fetch(slices[0][0])
+            LINK_MONITOR.record(probe.nbytes, _time.perf_counter() - t0)
+            rate = LINK_MONITOR.rate()
+            if (rate is not None
+                    and rate < _stream_min_rate(self._maxp_itemsize)):
+                return None
         out_classes = np.zeros(out_len, np.int8)
         out_scores = np.empty(out_len, np.float32)
         zero_fill = mss_score_transform(np.zeros(1, np.int8),
                                         np.zeros(1, np.float32))[0]
 
         def fetch(i):
-            packed = np.asarray(slices[i][0])
+            packed = probe if (i == 0 and probe is not None) \
+                else _sim_fetch(slices[i][0])
             classes_s, maxp_s = _unpack_scored(packed, rows_per_slice,
                                                self._maxp_itemsize)
             pos = i * rows_per_slice
@@ -795,7 +954,7 @@ class PredictionEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         def fetch(i):
-            packed = np.asarray(slices[i][0])
+            packed = _sim_fetch(slices[i][0])
             classes_s, maxp_s = _unpack_scored(packed, rows_per_slice,
                                                self._maxp_itemsize)
             pos = i * rows_per_slice

@@ -88,7 +88,9 @@ def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
         if not bool(overflow):
             # uint8 cast on device: 4x less device->host transfer
             # (class ids are < 256 by construction).
-            return np.asarray(assigned[:out_len].astype(jnp.uint8))
+            from deepgrp_tpu.predict.engine import _sim_fetch
+
+            return _sim_fetch(assigned[:out_len].astype(jnp.uint8))
         max_runs *= 2
 
 
@@ -126,8 +128,10 @@ def apply_mss_candidates(track, options: Options, nof_labels: int,
         classes_d = jnp.concatenate(
             [classes_d, jnp.zeros((pad,), classes_d.dtype)])
         maxp_d = jnp.concatenate([maxp_d, jnp.zeros((pad,), maxp_d.dtype)])
+    from deepgrp_tpu.predict.engine import _sim_fetch
+
     capacity = 1 << max(6, math.ceil(math.log2(max(runs_hint + 10, 2))))
-    buf = np.asarray(mss_device.collapse_candidates_packed(
+    buf = _sim_fetch(mss_device.collapse_candidates_packed(
         classes_d, maxp_d, jnp.int32(out_len), capacity=capacity))
     n_runs, overflow, starts, ends, l_glob, r_glob = (
         mss_device.unpack_candidates(buf, capacity))
@@ -158,7 +162,7 @@ def apply_mss_candidates(track, options: Options, nof_labels: int,
     bounds = [(k * n // n_chunks, (k + 1) * n // n_chunks)
               for k in range(n_chunks)]
     with ThreadPoolExecutor(n_chunks) as ex:
-        parts = list(ex.map(lambda ab: np.asarray(assigned[ab[0]:ab[1]]),
+        parts = list(ex.map(lambda ab: _sim_fetch(assigned[ab[0]:ab[1]]),
                             bounds))
     return np.concatenate(parts)[:out_len]
 
@@ -260,11 +264,24 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
 
     if use_mss and device_mss in (True, "on") and hasattr(
             engine, "predict_scored_device"):
-        classes_d, maxp_d, _ = engine.predict_scored_device(params, onehot)
-        if classes_d is None:
-            return zero_window_quirk()
-        return apply_mss_on_device(classes_d, maxp_d, options, nof_labels,
-                                   out_len)
+        if not getattr(engine, "device_route_ok", lambda: True)():
+            # Multi-host sharded run: the assembled scored track is a
+            # replicated GLOBAL array that is not fully addressable per
+            # process, so the forced on-device route cannot fetch it —
+            # same guard the auto route applies.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device_mss='on' is unavailable on multi-host runs "
+                "(global track not addressable per process); using the "
+                "host MSS route")
+        else:
+            classes_d, maxp_d, _ = engine.predict_scored_device(params,
+                                                                onehot)
+            if classes_d is None:
+                return zero_window_quirk()
+            return apply_mss_on_device(classes_d, maxp_d, options,
+                                       nof_labels, out_len)
     if use_mss:
         if (device_mss == "auto" and hasattr(engine, "scored_tracks")
                 and getattr(engine, "device_route_ok", lambda: True)()):
@@ -272,19 +289,18 @@ def predict_sequence(model: DeepGRPModel, params, onehot: np.ndarray,
             if track is None:
                 return zero_window_quirk()
             if hasattr(engine, "_mss_classes_streaming"):
-                # Single-device engine: the STREAMING host route is the
-                # measured winner at EVERY track density on the single
-                # chip (benchmarks/mss_route_bench.json: trained 2 Mbp
-                # track, interleaved best-of — streaming 431 ms vs pure
-                # device-MSS 590 ms vs hybrid 757 ms; compute floor
-                # 251 ms): the 5 B/bp packed fetch rides entirely behind
-                # the chunk-scan compute, and per-block Ruzzo-Tompa runs
-                # during the transfers, while the transfer-light routes
-                # pay per-program launch round trips that exceed their
-                # byte savings on any link fast enough to hide behind
-                # compute (>~20 MB/s).  Force them with
-                # ``device_mss='on'`` for slower links.
-                return track.host_mss_classes(options, nof_labels)
+                # Single-device engine: WEATHER-ADAPTIVE routing.  In
+                # good weather the STREAMING host route wins at every
+                # track density (benchmarks/mss_route_bench.json:
+                # trained 2 Mbp track, interleaved best-of — streaming
+                # 431 ms vs pure device-MSS 590 ms vs hybrid 757 ms;
+                # compute floor 251 ms): the packed fetch rides behind
+                # the chunk-scan compute.  But the link has multi-minute
+                # slow phases; a timed slice-0 probe
+                # (engine.LINK_MONITOR) re-routes to the transfer-light
+                # hybrid route below the ~20 MB/s crossover.  All routes
+                # are bit-identical.
+                return track.mss_classes_auto(options, nof_labels)
             # Sharded engine (ICI-attached pods: device->host hops are
             # the expensive part, program launches are not): transfer-
             # light routing by track sparsity.

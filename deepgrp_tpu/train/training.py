@@ -214,12 +214,13 @@ class Trainer:
         """Whether the optimization step uses the fused Pallas train
         kernels (models/pallas_rnn_train.py).
 
-        ``"auto"`` picks fused for GRU on TPU single-device training (the
-        measured winner at the flagship shape,
-        benchmarks/train_kernel_bench.json); the data-parallel mesh step
-        keeps the scan (the kernel inside shard_map is untested on
-        multi-chip) and non-TPU backends keep the scan (interpreter-mode
-        Pallas is orders of magnitude slower).
+        ``"auto"`` picks fused for GRU on TPU — both single-device AND
+        the data-parallel mesh step (the measured 1.64x winner at the
+        flagship shape, benchmarks/train_kernel_bench.json; each device
+        runs the kernel on its local batch slice inside ``shard_map``,
+        loss-trajectory equality vs the DP scan is pinned by
+        tests/test_dp_training.py).  Non-TPU backends keep the scan
+        (interpreter-mode Pallas is orders of magnitude slower).
         """
         if mode == "scan":
             return False
@@ -231,8 +232,7 @@ class Trainer:
             raise ValueError(
                 f"rnn_kernel must be auto|scan|fused, got {mode!r}")
         return (jax.default_backend() == "tpu"
-                and self.model.config.rnn != "LSTM"
-                and self.mesh is None)
+                and self.model.config.rnn != "LSTM")
 
     def fit(self, train_data: Data, val_data: Data, params=None,
             seed: int = 0,
@@ -277,21 +277,24 @@ class Trainer:
                 dp_epoch = make_dp_train_epoch(model, self.optimizer,
                                                self.mesh, options,
                                                train_sampler,
-                                               options.n_batches)
-                _LOG.info("data-parallel training over %d devices",
-                          self.mesh.shape[DATA_AXIS])
+                                               options.n_batches,
+                                               fused=self.fused)
+                _LOG.info("data-parallel training over %d devices%s",
+                          self.mesh.shape[DATA_AXIS],
+                          " (fused kernels)" if self.fused else "")
 
         fwd_buf = train_sampler._fwd
-        if self.fused and dp_epoch is None:
+        if self.fused:
             # Fused train kernels consume compact codes (5x less HBM and
-            # an exact in-kernel row-select input projection).
+            # an exact in-kernel row-select input projection) — both the
+            # single-device scan and the DP shard_map step.
             fwd_buf = codes_from_onehot_rows(train_sampler._fwd)
 
         def run_epoch(params, opt_state, key):
             """One dispatch per epoch: n_batches steps scanned on device."""
             if dp_epoch is not None:
                 return dp_epoch(params, opt_state, key,
-                                train_sampler._fwd, train_sampler._lbl,
+                                fwd_buf, train_sampler._lbl,
                                 train_sampler._candidates,
                                 train_sampler._lengths)
             return _train_epoch(params, opt_state, key,
