@@ -68,20 +68,54 @@ def _update_options(options: Options, dictionary: Dict[str, Any]) -> Options:
 
 
 def evaluate_trained(options: Options, step_size: int, logdir: PathLike,
-                     val_data: Data, params,
-                     compute_dtype=None) -> Dict[str, Any]:
+                     val_data: Data, params, compute_dtype=None,
+                     rnn_kernel: str = "auto") -> Dict[str, Any]:
     """MSS-post-processed validation metrics for trained parameters
     (the evaluation half of the reference objective,
     optimization.py:58-68).  ``compute_dtype`` lets sweeps evaluate on
-    the engine's bfloat16 fast path."""
-    predictions = predict_complete(step_size, options, logdir, val_data,
-                                   use_mss=True, params=params,
-                                   compute_dtype=compute_dtype)
-    is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
-    predictions_class = predictions[is_not_na].argmax(axis=1)
+    the engine's bfloat16 fast path.
+
+    Transport: routed through the production scored path
+    (``predict_sequence`` -> packed classes+maxp slices, ~5 B/bp off
+    device) instead of the reference-shaped full ``[L, C]`` float32
+    probability matrix + ``[L, C]`` float64 one-hot (~40+ B/bp) — this
+    sits in the inner loop of every sweep trial.  Bit-identical metrics
+    (the scored routes reproduce ``apply_mss(...).argmax(axis=1)``
+    exactly; tests/test_hpo.py pins the equality), except in the
+    degenerate case where ``fwd`` and ``truelbl`` lengths differ, which
+    keeps the legacy full-matrix path for exact parity.
+    """
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    out_len = int(val_data.truelbl.shape[1])
+    fwd = np.asarray(val_data.fwd)
+    if fwd.shape[-1] != out_len:
+        predictions = predict_complete(step_size, options, logdir, val_data,
+                                       use_mss=True, params=params,
+                                       compute_dtype=compute_dtype,
+                                       rnn_kernel=rnn_kernel)
+        is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
+        predictions_class = predictions[is_not_na].argmax(axis=1)
+        filter_segments(predictions_class, options.min_mss_len)
+        _, metrics = calculate_metrics(
+            predictions_class, val_data.truelbl[:, is_not_na].argmax(axis=0))
+        return metrics
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.predict.engine import PredictionEngine
+
+    model = create_model(options)
+    engine = PredictionEngine(model, batch_size=options.batch_size,
+                              step_size=step_size,
+                              compute_dtype=(jnp.float32 if compute_dtype
+                                             is None else compute_dtype),
+                              rnn_kernel=rnn_kernel)
+    predictions_class = np.asarray(
+        predict_sequence(model, params, fwd, options, step_size,
+                         use_mss=True, engine=engine), dtype=np.int64)
     filter_segments(predictions_class, options.min_mss_len)
-    _, metrics = calculate_metrics(
-        predictions_class, val_data.truelbl[:, is_not_na].argmax(axis=0))
+    _, metrics = calculate_metrics(predictions_class,
+                                   val_data.truelbl.argmax(axis=0))
     return metrics
 
 

@@ -44,18 +44,21 @@ def _make_device_step(model: DeepGRPModel,
             f"batch_size {train_sampler.batch_size} not divisible by "
             f"{n_dev} devices")
     local_batch = train_sampler.batch_size // n_dev
-    # Per-device class quota: same totals as single-device when divisible.
-    local_ocs = max(train_sampler.one_class_size // n_dev, 0)
     vecsize = int(options.vecsize)
     n_sampled = train_sampler.n_sampled_classes
+    ocs_global = train_sampler.one_class_size
     seq_len = train_sampler.seq_len
 
     def device_step(params, opt_state, key, fwd, lbl, candidates, lengths):
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        dev_idx = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, dev_idx)
         key_sample, key_dropout = jax.random.split(key)
-        starts = sampler_lib._sample_starts(key_sample, candidates, lengths,
-                                            n_sampled, local_ocs,
-                                            local_batch, seq_len, vecsize)
+        # Exact global class quotas (each class contributes exactly
+        # one_class_size starts summed over the mesh; see
+        # sampler._sample_starts_dp).
+        starts = sampler_lib._sample_starts_dp(
+            key_sample, candidates, lengths, n_sampled, ocs_global, n_dev,
+            dev_idx, local_batch, seq_len, vecsize)
 
         def cut(buf, start):
             return jax.lax.dynamic_slice(buf, (start, 0),

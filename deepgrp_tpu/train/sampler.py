@@ -110,6 +110,49 @@ def _sample_starts(key, candidates, lengths, n_sampled: int, ocs: int,
     return jax.random.permutation(key_perm, starts)
 
 
+def _sample_starts_dp(key, candidates, lengths, n_sampled: int,
+                      ocs_global: int, n_dev: int, dev_idx, local_batch: int,
+                      seq_len: int, vecsize: int) -> jax.Array:
+    """Per-device slice of the class-balanced batch with EXACT global
+    class totals (called inside ``shard_map``; ``dev_idx`` is the traced
+    mesh axis index).
+
+    Every device samples ``q = ceil(ocs_global / n_dev)`` starts per
+    repeat class (shapes must be SPMD-static), then converts its
+    over-quota slots — global class-slot index ``dev_idx*q + k >=
+    ocs_global`` — into uniform window starts.  Summed over the mesh,
+    each repeat class contributes exactly ``ocs_global`` starts and the
+    remainder is uniform: the same per-batch class distribution as the
+    single-device sampler (which a plain ``ocs_global // n_dev``
+    per-device quota silently undercounts by up to ``n_dev - 1`` per
+    class; VERDICT r4 item 8).  The PRNG stream still differs from
+    single-device (per-device ``fold_in``), as documented in PARITY.md.
+    """
+    key_cls, key_fill, key_uni, key_perm = jax.random.split(key, 4)
+    q = -(-ocs_global // n_dev) if ocs_global else 0
+    if n_sampled and local_batch < n_sampled * q:
+        raise ValueError(
+            f"per-device batch {local_batch} cannot hold {n_sampled} "
+            f"classes x ceil({ocs_global}/{n_dev}) quota slots")
+    parts = []
+    if n_sampled and q:
+        picks = jax.random.randint(key_cls, (n_sampled, q), 0, 1 << 30)
+        picks = picks % lengths[:n_sampled, None]
+        cls_starts = jnp.take_along_axis(candidates[:n_sampled], picks,
+                                         axis=1)
+        fill = jax.random.randint(key_fill, (n_sampled, q), 0,
+                                  seq_len - vecsize)
+        keep = (dev_idx * q + jnp.arange(q)) < ocs_global  # [q]
+        parts.append(jnp.where(keep[None, :], cls_starts,
+                               fill).reshape(-1))
+    n_uniform = local_batch - n_sampled * q
+    if n_uniform:
+        parts.append(
+            jax.random.randint(key_uni, (n_uniform,), 0, seq_len - vecsize))
+    starts = jnp.concatenate(parts).astype(jnp.int32)
+    return jax.random.permutation(key_perm, starts)
+
+
 @partial(jax.jit, static_argnames=("vecsize", "dtype"))
 def _gather(fwd, lbl, starts, vecsize: int, dtype):
     def cut(buf, start):

@@ -186,6 +186,13 @@ def _eval_step(params, x, y, model: DeepGRPModel):
     return categorical_crossentropy(logits, y)
 
 
+def _rep_tree(tree, replicated_sharding):
+    """Replicate a pytree onto a (possibly multi-process) mesh from the
+    per-process host copies."""
+    return jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), replicated_sharding), tree)
+
+
 class Trainer:
     """Reusable training driver for one model/options pair.
 
@@ -290,13 +297,42 @@ class Trainer:
             # single-device scan and the DP shard_map step.
             fwd_buf = codes_from_onehot_rows(train_sampler._fwd)
 
+        dp_arrays = None
+        if dp_epoch is not None:
+            # Explicit replicated placement over the (possibly
+            # multi-process) global mesh: jit can re-shard local arrays
+            # automatically on one process, but a multi-host run must
+            # build the global replicated arrays from the (identical)
+            # host copies on every process — same contract as the
+            # sharded prediction engine's device_put placement.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def _rep(a):
+                return jax.device_put(np.asarray(a), replicated)
+
+            dp_arrays = (_rep(fwd_buf), _rep(train_sampler._lbl),
+                         _rep(train_sampler._candidates),
+                         _rep(train_sampler._lengths))
+            params = _rep_tree(params, replicated)
+            opt_state = _rep_tree(opt_state, replicated)
+
         def run_epoch(params, opt_state, key):
             """One dispatch per epoch: n_batches steps scanned on device."""
             if dp_epoch is not None:
-                return dp_epoch(params, opt_state, key,
-                                fwd_buf, train_sampler._lbl,
-                                train_sampler._candidates,
-                                train_sampler._lengths)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                key = jax.device_put(
+                    np.asarray(key),
+                    NamedSharding(self.mesh, PartitionSpec()))
+                params, opt_state, key, losses = dp_epoch(
+                    params, opt_state, key, *dp_arrays)
+                # Host-side key chain: later eager PRNG ops (validation
+                # batch) must not mix a mesh-global key with local
+                # arrays on a multi-host run.
+                return params, opt_state, jnp.asarray(jax.device_get(key)), \
+                    losses
             return _train_epoch(params, opt_state, key,
                                 fwd_buf, train_sampler._lbl,
                                 train_sampler._candidates,
@@ -313,7 +349,9 @@ class Trainer:
             epoch_t0 = time.time()
             params, opt_state, key, losses = run_epoch(params, opt_state,
                                                        key)
-            train_loss = float(jnp.mean(losses))
+            # device_get first: a replicated global array's mean must be
+            # taken on host on multi-host runs.
+            train_loss = float(np.mean(jax.device_get(losses)))
 
             if stop_on_nan and not np.isfinite(train_loss):
                 _LOG.warning(
@@ -323,6 +361,11 @@ class Trainer:
 
             key, val_key = jax.random.split(key)
             val_x, val_y = val_sampler.batch(val_key)
+            if dp_epoch is not None:
+                # Uncommit the locally-sampled batch so the jit follows
+                # the mesh-global params' sharding on multi-host runs.
+                val_x = np.asarray(val_x)
+                val_y = np.asarray(val_y)
             val_loss = float(_eval_step(params, val_x, val_y, model))
 
             history["loss"].append(train_loss)

@@ -116,6 +116,40 @@ def test_build_and_optimize_ok_path(tmp_path):
     assert mccs[0] == pytest.approx(-result["loss"])
 
 
+def test_evaluate_trained_scored_path_matches_full_matrix(tmp_path):
+    """VERDICT r4 item 5: the sweep evaluation path now rides the scored
+    transport (classes+maxp) instead of the full probability matrix; the
+    resulting metrics must be bit-identical to the legacy
+    predict_complete -> apply_mss -> argmax -> filter_segments chain."""
+    import jax
+    from deepgrp_tpu.hpo.optimization import evaluate_trained
+    from deepgrp_tpu.models.model import create_model
+    from deepgrp_tpu.ops.segments import filter_segments
+    from deepgrp_tpu.predict.metrics import calculate_metrics
+    from deepgrp_tpu.predict.postprocess import predict_complete
+
+    options = base_options(tmp_path)
+    val = make_tiny_data(5)
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(3))
+
+    got = evaluate_trained(options, 10, tmp_path, val, params)
+
+    predictions = predict_complete(10, options, tmp_path, val,
+                                   use_mss=True, params=params)
+    is_not_na = np.logical_not(np.isnan(predictions[:, 0]))
+    predictions_class = predictions[is_not_na].argmax(axis=1)
+    filter_segments(predictions_class, options.min_mss_len)
+    _, want = calculate_metrics(
+        predictions_class, val.truelbl[:, is_not_na].argmax(axis=0))
+
+    assert set(got) == set(want)
+    for key in want:
+        # exact equality; NaN entries (undefined rates) must match too
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(want[key]), err_msg=key)
+
+
 def test_build_and_optimize_failure_path(tmp_path):
     options = base_options(tmp_path)
     # vecsize larger than the sequence -> sampler/training must fail

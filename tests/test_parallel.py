@@ -100,6 +100,50 @@ def test_dp_train_step_runs_and_improves(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.parametrize("ocs", [5, 8, 11])
+def test_dp_sampler_exact_class_quota(ocs):
+    """Summed over the mesh, every repeat class contributes EXACTLY
+    one_class_size starts per batch — including quotas that do not
+    divide by the device count (the old ``ocs // n_dev`` per-device
+    quota dropped up to n_dev-1 repeat samples per class; VERDICT r4
+    item 8)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from deepgrp_tpu.parallel.mesh import DATA_AXIS
+    from deepgrp_tpu.train import sampler as sampler_lib
+
+    mesh = make_mesh()
+    n_dev = mesh.shape[DATA_AXIS]
+    if n_dev == 1:
+        pytest.skip("single device")
+    n_sampled, local_batch = 2, 4
+    seq_len, vecsize = 100, 10  # uniform starts land in [0, 90)
+    # Sentinel candidates: any class-c start equals 1000 + c, so class
+    # membership of each sampled start is unambiguous.
+    candidates = jnp.stack(
+        [jnp.full((7,), 1000 + c, jnp.int32) for c in range(n_sampled)])
+    lengths = jnp.full((n_sampled,), 7, jnp.int32)
+
+    def body(key):
+        dev = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(key, dev)
+        return sampler_lib._sample_starts_dp(
+            k, candidates, lengths, n_sampled, ocs, n_dev, dev,
+            local_batch, seq_len, vecsize)
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(),
+                               out_specs=P(DATA_AXIS), check_vma=False))
+    for trial in range(5):
+        starts = np.asarray(fn(jax.random.PRNGKey(trial)))
+        assert starts.shape == (n_dev * local_batch,)
+        for c in range(n_sampled):
+            assert int((starts == 1000 + c).sum()) == ocs, (trial, c)
+        # remainder slots are uniform window starts
+        assert int((starts < seq_len).sum()) == (
+            n_dev * local_batch - n_sampled * ocs)
+
+
 def test_dp_batch_divisibility_check(setup):
     options, model, params = setup
     bad = Options(**{**options.todict(), "batch_size": 13})
