@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Weather-adaptive MSS routing bench: good link vs simulated slow link.
+
+VERDICT r4 item 1 acceptance artifact.  Scans the trained flagship
+fixture (gru_att.h5) over a repeat-rich ~2 Mbp synthetic chromosome
+(the BENCH ``trained_scan`` configuration) through the auto MSS route:
+
+  * **good weather** — the link probe commits to the streaming host
+    route; e2e should sit near the device-compute floor
+    (``e2e_over_device_compute <= ~1.5``).
+  * **simulated slow link** (``DEEPGRP_SIM_LINK_BPS``, serialized
+    single-stream throttle) — the probe re-routes to the transfer-light
+    hybrid collapse/host-stack/device-label route; degradation must be
+    BOUNDED (the r04 driver run lost 2.4x purely to weather with no
+    re-route).  The forced-streaming time under the same throttle is
+    recorded as the counterfactual.
+
+All routes are bit-identical; the bench asserts it on every rep.
+
+Usage (TPU host):  python benchmarks/adaptive_route_bench.py
+Writes benchmarks/adaptive_route_bench.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 2_000_000))
+STEP = 50
+BATCH = 1024
+SLOW_BPS = float(os.environ.get("BENCH_SLOW_LINK_BPS", 2e6))  # 2 MB/s
+
+
+def main() -> int:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (backend init)
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import synth_mbp
+
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.models.keras_io import load_model
+    from deepgrp_tpu.models.model import DeepGRPModel
+    from deepgrp_tpu.ops.encoding import encode_codes_trimmed
+    from deepgrp_tpu.predict import engine as engine_lib
+    from deepgrp_tpu.predict.engine import PredictionEngine, window_starts
+    from deepgrp_tpu.predict.postprocess import predict_sequence
+
+    h5 = os.path.join(REPO, "tests", "fixtures", "reference", "gru_att.h5")
+    config, params = load_model(h5)
+    model = DeepGRPModel(config)
+    params = jax.device_put(params)
+    n_win_target = (SEQ_LEN - config.vecsize) // STEP + 1
+    seq = synth_mbp.make_mbp_sequence(7, n_win_target)
+    _, codes = encode_codes_trimmed(seq)
+    options = Options(vecsize=config.vecsize)
+    engine = PredictionEngine(model, batch_size=BATCH, step_size=STEP)
+    n_windows = window_starts(codes.shape[-1], config.vecsize, STEP).size
+
+    def run_auto():
+        return predict_sequence(model, params, codes, options, STEP,
+                                use_mss=True, engine=engine,
+                                device_mss="auto")
+
+    def run_forced_streaming():
+        track = engine.scored_tracks(params, codes)
+        return track.host_mss_classes(options, config.n_classes)
+
+    # Warm up / compile everything both routes touch (incl. the hybrid
+    # route's assembly/collapse/label programs).
+    want = np.asarray(run_auto(), np.int64)
+    os.environ["DEEPGRP_SIM_LINK_BPS"] = str(SLOW_BPS)
+    engine_lib.LINK_MONITOR.reset()
+    np.asarray(run_auto())
+    del os.environ["DEEPGRP_SIM_LINK_BPS"]
+    engine_lib.LINK_MONITOR.reset()
+
+    # Device-compute floor for the ratio.
+    from bench import measure_device_only_with
+
+    dev_wps, dev_stats = measure_device_only_with(engine, params, codes,
+                                                  n_windows)
+    floor_s = n_windows / dev_wps
+
+    # Interleaved reps: weather hits all variants of a rep equally.
+    good, slow_adaptive, slow_streaming = [], [], []
+    for rep in range(3):
+        engine_lib.LINK_MONITOR.reset()
+        t0 = time.perf_counter()
+        out = run_auto()
+        good.append(time.perf_counter() - t0)
+        assert np.array_equal(np.asarray(out, np.int64), want)
+
+        os.environ["DEEPGRP_SIM_LINK_BPS"] = str(SLOW_BPS)
+        engine_lib.LINK_MONITOR.reset()
+        t0 = time.perf_counter()
+        out = run_auto()
+        slow_adaptive.append(time.perf_counter() - t0)
+        assert np.array_equal(np.asarray(out, np.int64), want)
+
+        engine_lib.LINK_MONITOR.reset()
+        t0 = time.perf_counter()
+        out = run_forced_streaming()
+        slow_streaming.append(time.perf_counter() - t0)
+        assert np.array_equal(np.asarray(out, np.int64), want)
+        del os.environ["DEEPGRP_SIM_LINK_BPS"]
+        engine_lib.LINK_MONITOR.reset()
+        print(f"[adaptive-bench] rep {rep}: good {good[-1]:.3f}s, "
+              f"slow-adaptive {slow_adaptive[-1]:.3f}s, "
+              f"slow-forced-streaming {slow_streaming[-1]:.3f}s",
+              flush=True)
+
+    # Route proof: under the throttle the streaming driver must bail.
+    os.environ["DEEPGRP_SIM_LINK_BPS"] = str(SLOW_BPS)
+    engine_lib.LINK_MONITOR.reset()
+    track = engine.scored_tracks(params, codes)
+    bail = engine._mss_classes_streaming(track._state, track.out_len,
+                                         options, config.n_classes,
+                                         adaptive=True)
+    probed_rate = engine_lib.LINK_MONITOR.rate()
+    del os.environ["DEEPGRP_SIM_LINK_BPS"]
+    engine_lib.LINK_MONITOR.reset()
+
+    result = {
+        "date": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "seq_len": int(codes.shape[-1]),
+        "n_windows": int(n_windows),
+        "slow_link_bps": SLOW_BPS,
+        "device_compute_floor_s": round(floor_s, 4),
+        "device_only_stats": dev_stats,
+        "good_weather": {
+            "e2e_s": sorted(round(t, 4) for t in good),
+            "e2e_over_device_compute": round(min(good) / floor_s, 2),
+            "route": "streaming (probe committed)",
+        },
+        "slow_link_adaptive": {
+            "e2e_s": sorted(round(t, 4) for t in slow_adaptive),
+            "e2e_over_device_compute": round(
+                min(slow_adaptive) / floor_s, 2),
+            "route": "hybrid collapse/host-stack/device-label (re-routed)",
+        },
+        "slow_link_forced_streaming": {
+            "e2e_s": sorted(round(t, 4) for t in slow_streaming),
+            "e2e_over_device_compute": round(
+                min(slow_streaming) / floor_s, 2),
+        },
+        "reroute_win": round(min(slow_streaming) / min(slow_adaptive), 2),
+        "probe_bailed_under_throttle": bail is None,
+        "probed_rate_mbps": (round(probed_rate / 1e6, 2)
+                             if probed_rate else None),
+        "outputs_bit_identical": True,
+    }
+    out_path = os.path.join(REPO, "benchmarks", "adaptive_route_bench.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

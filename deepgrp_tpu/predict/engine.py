@@ -485,13 +485,17 @@ def _sim_fetch(device_array) -> np.ndarray:
 
 
 def _stream_min_rate(maxp_itemsize: int) -> float:
-    """Minimum link throughput (bytes/s) for the streaming host MSS route.
+    """Minimum EFFECTIVE link throughput (bytes/s) for the streaming
+    host MSS route.
 
-    The measured crossover on the tunneled v5e is ~20 MB/s for the
-    5 B/bp f32 transport (benchmarks/mss_route_bench.json "policy"):
-    above it the packed fetches hide behind compute and streaming beats
-    every transfer-light route; below it the fetch tail dominates and
-    the hybrid collapse/stack/label route (1 B/bp) wins.  The bf16
+    The probe's rate includes the ~20 ms fixed per-fetch overhead, so
+    the threshold is calibrated on the same effective basis from the
+    route bench (benchmarks/mss_route_bench.json, trained 2 Mbp track):
+    streaming moves ~5 B/bp and costs ~max(compute, bytes/rate); the
+    hybrid route costs a ~0.6 s launch/dispatch fixture plus ~1 B/bp —
+    they cross near 13 MB/s effective for the f32 transport (the good-
+    weather link probes at ~24 MB/s effective, the documented slow
+    phases at <2 MB/s, so the margin is ~2x on both sides).  The bf16
     3 B/bp transport crosses proportionally lower.  Override in MB/s
     with ``DEEPGRP_MSS_STREAM_MIN_MBPS``.
     """
@@ -500,7 +504,7 @@ def _stream_min_rate(maxp_itemsize: int) -> float:
     mbps = os.environ.get("DEEPGRP_MSS_STREAM_MIN_MBPS")
     if mbps is not None:
         return float(mbps) * 1e6
-    return 20e6 * (maxp_itemsize + 1) / 5.0
+    return 13e6 * (maxp_itemsize + 1) / 5.0
 
 
 def _round_bf16_host(maxp: np.ndarray) -> np.ndarray:
