@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepgrp_tpu.models.model import DeepGRPModel
 from deepgrp_tpu.parallel.mesh import DATA_AXIS
-from deepgrp_tpu.predict.engine import (SLICE_CHUNKS, ScoredTrack,
+from deepgrp_tpu.predict.engine import (ScoredTrack, _slice_chunks,
                                         _unpack_scored, mss_score_transform,
                                         scan_chunk_range, window_starts)
 
@@ -263,9 +263,10 @@ class ShardedPredictionEngine:
             return 0, 0, 0
         chunks = -(-starts.size // self.batch_size)
         per_dev = -(-chunks // self.n_devices)
-        if per_dev > SLICE_CHUNKS:
-            per_dev = -(-per_dev // SLICE_CHUNKS) * SLICE_CHUNKS
-        return starts.size, per_dev, min(per_dev, SLICE_CHUNKS)
+        sc = _slice_chunks()
+        if per_dev > sc:
+            per_dev = -(-per_dev // sc) * sc
+        return starts.size, per_dev, min(per_dev, sc)
 
     def _prepare_shards(self, seq_repr: np.ndarray, chunks_per_dev: int):
         """Split the sequence into per-device block-row shards with halos.

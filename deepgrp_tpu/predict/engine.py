@@ -162,7 +162,15 @@ def make_spill0(model: DeepGRPModel, step: int) -> jax.Array:
 # untrained 388 ms, vs 428/460 @ 16 and worse @ 2): small slices shrink
 # the un-hideable last-slice fetch tail and feed the per-block MSS
 # earlier, until per-dispatch round trips dominate below ~4.
+# DEEPGRP_SLICE_CHUNKS overrides (read per call so one process can sweep
+# values interleaved — cross-process timings are weather-incomparable).
 SLICE_CHUNKS = 4
+
+
+def _slice_chunks() -> int:
+    import os
+
+    return int(os.environ.get("DEEPGRP_SLICE_CHUNKS", SLICE_CHUNKS))
 
 
 @partial(jax.jit, static_argnames=("model", "step", "batch", "n_chunks",
@@ -665,9 +673,10 @@ class PredictionEngine:
         padded to the slice grid (multiple of ``SLICE_CHUNKS``) so one
         compiled slice program covers every long sequence."""
         n_chunks = -(-n_windows // self.batch_size)
-        if n_chunks <= SLICE_CHUNKS:
+        sc = _slice_chunks()
+        if n_chunks <= sc:
             return n_chunks
-        return -(-n_chunks // SLICE_CHUNKS) * SLICE_CHUNKS
+        return -(-n_chunks // sc) * sc
 
     def _dispatch_slices(self, params, onehot: np.ndarray, n_windows: int,
                          score: bool):
@@ -679,7 +688,7 @@ class PredictionEngine:
         device->host transfer entirely behind compute.
         """
         n_chunks = self._n_chunks_sliced(n_windows)
-        slice_chunks = min(n_chunks, SLICE_CHUNKS)
+        slice_chunks = min(n_chunks, _slice_chunks())
         seqblocks = self._prepare_blocks(onehot, n_chunks)
         spill = make_spill0(self.model, self.step_size)
         n_win = jnp.int32(n_windows)

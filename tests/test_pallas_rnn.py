@@ -21,9 +21,14 @@ def test_matches_scan(batch, steps, units, block_b):
     params["bias"] = jax.random.normal(jax.random.PRNGKey(1),
                                        (2, 3 * units)) * 0.3
     x = jax.random.uniform(jax.random.PRNGKey(2), (batch, steps, 5))
-    seq_ref, last_ref = rnn_lib.gru_apply(params, x)
-    seq_pl, last_pl = pallas_gru_apply(params, x, interpret=True,
-                                       block_b=block_b)
+    # Pin matmul precision: on TPU the default is bf16 and the two
+    # formulations fuse differently; at "highest" they agree to the
+    # f32 ulp on CPU AND on real hardware (the production kernels pin
+    # highest internally).
+    with jax.default_matmul_precision("highest"):
+        seq_ref, last_ref = rnn_lib.gru_apply(params, x)
+        seq_pl, last_pl = pallas_gru_apply(params, x, interpret=True,
+                                           block_b=block_b)
     np.testing.assert_allclose(np.asarray(seq_pl), np.asarray(seq_ref),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(last_pl), np.asarray(last_ref),
@@ -39,8 +44,10 @@ def test_model_forward_with_pallas_rnn():
     model = create_model(options)
     params = model.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 5))
-    ref = model.apply(params, x)
-    got = model.apply(params, x, rnn_apply=make_interpret_apply(block_b=8))
+    with jax.default_matmul_precision("highest"):  # see test_matches_scan
+        ref = model.apply(params, x)
+        got = model.apply(params, x,
+                          rnn_apply=make_interpret_apply(block_b=8))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
