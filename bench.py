@@ -195,12 +195,22 @@ def measure_trained(precision: str = "float32") -> dict:
         "device_only": dev_stats,
         "e2e_over_device_compute": round(e2e * dev_wps / n_windows, 2),
         "score_track_positive_runs": int(runs),
-        # Single-device auto policy: the streaming host route wins at
-        # every track density on this link class (the packed fetch rides
-        # behind compute); see benchmarks/mss_route_bench.json for the
-        # interleaved route comparison that set this.
-        "mss_route": "host-streaming",
+        # Single-device auto policy is WEATHER-ADAPTIVE since r5: a
+        # timed slice-0 probe commits to the streaming host route above
+        # the effective-rate crossover and re-routes to the hybrid
+        # collapse/host-stack/device-label route below it (see
+        # benchmarks/adaptive_route_bench.json); the probed rate is the
+        # observed link weather during this run.
+        "mss_route": "adaptive(streaming|hybrid by link probe)",
+        "probed_link_mbps": _probed_link_mbps(),
     }
+
+
+def _probed_link_mbps():
+    from deepgrp_tpu.predict.engine import LINK_MONITOR
+
+    rate = LINK_MONITOR.rate()
+    return round(rate / 1e6, 2) if rate else None
 
 
 def measure_device_only_with(engine, params, codes, n_windows) -> tuple:
