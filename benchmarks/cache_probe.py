@@ -26,6 +26,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 class _ProbeDone(Exception):
@@ -40,9 +42,18 @@ def _capture_entries():
 
     import jax._src.cache_key as ck
 
+    original_get = ck.get
+
     def probing_get(module, devices, compile_options, backend,
                     compression_algorithm="zstandard",
                     ignore_callbacks=ck.IgnoreCallbacks.NO):
+        # Only intercept the target program; smaller helper jits (asarray,
+        # reshape, ...) compile normally first.
+        sym_name = ck.ir.StringAttr(
+            module.operation.attributes["sym_name"]).value
+        if "scan_slice" not in sym_name:
+            return original_get(module, devices, compile_options, backend,
+                                compression_algorithm, ignore_callbacks)
         entries = [
             ("computation",
              lambda h: ck._hash_computation(h, module, ignore_callbacks)),
@@ -120,9 +131,40 @@ def worker(dtype_name: str) -> None:
     raise SystemExit("cache_key.get was never reached")
 
 
+def e2e_worker(dtype_name: str) -> None:
+    """Time a fresh process's first scored-scan result (cache warm)."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.config import Options
+    from deepgrp_tpu.models import create_model
+    from deepgrp_tpu.predict.engine import PredictionEngine
+
+    t0 = time.perf_counter()
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    options = Options(vecsize=342, units=60, attention=True, dropout=0.0928)
+    model = create_model(options)
+    params = model.init(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    engine = PredictionEngine(model, batch_size=256, step_size=50,
+                              compute_dtype=dtype)
+    codes = np.random.default_rng(0).integers(0, 4,
+                                              size=200_000).astype(np.int8)
+    track = engine.scored_tracks(params, codes)
+    track.host_mss_scores()
+    print(json.dumps({"first_result_s": round(time.perf_counter() - t0, 1)}))
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--worker", action="store_true")
+    parser.add_argument("--e2e-worker", action="store_true")
     parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     parser.add_argument("--runs", type=int, default=2)
     parser.add_argument("--out", default=os.path.join(
@@ -130,6 +172,9 @@ def main() -> int:
     args = parser.parse_args()
     if args.worker:
         worker(args.dtype)
+        return 0
+    if args.e2e_worker:
+        e2e_worker(args.dtype)
         return 0
 
     report = {}
@@ -156,6 +201,28 @@ def main() -> int:
             "runs": runs,
         }
         print(f"[probe] {dtype}: stable={stable} differing={diffs}")
+
+    # End-to-end demonstration: two fresh processes; the second must
+    # reach its first result in seconds on a persistent-cache hit (the
+    # r4 symptom was a full 160-420 s recompile per process).
+    e2e = {}
+    for dtype in ("f32", "bf16"):
+        walls = []
+        for i in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e-worker",
+                 "--dtype", dtype],
+                capture_output=True, text=True, cwd=REPO, timeout=1800)
+            if proc.returncode != 0:
+                print(proc.stderr[-2000:])
+                return 1
+            walls.append(json.loads(
+                proc.stdout.strip().splitlines()[-1])["first_result_s"])
+            print(f"[probe] e2e {dtype} process {i}: first result in "
+                  f"{walls[-1]}s")
+        e2e[dtype] = {"process_walls_s": walls,
+                      "second_process_hits": walls[-1] < 60}
+    report["e2e_fresh_process"] = e2e
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=2)
     print(f"[probe] report -> {args.out}")
