@@ -92,13 +92,33 @@ def main() -> int:
                                                   n_windows)
     floor_s = n_windows / dev_wps
 
+    # Observe which route each auto call actually takes: a streaming
+    # bail (probe below crossover) returns None before falling back.
+    observed_routes = []
+    real_streaming = engine._mss_classes_streaming
+
+    def recording_streaming(state, out_len, options_, nof_labels,
+                            adaptive=False):
+        out = real_streaming(state, out_len, options_, nof_labels,
+                             adaptive=adaptive)
+        if adaptive:
+            observed_routes.append("hybrid(rerouted)" if out is None
+                                   else "streaming")
+        return out
+
+    engine._mss_classes_streaming = recording_streaming
+
     # Interleaved reps: weather hits all variants of a rep equally.
     good, slow_adaptive, slow_streaming = [], [], []
+    good_rates, good_routes, slow_routes = [], [], []
     for rep in range(3):
         engine_lib.LINK_MONITOR.reset()
         t0 = time.perf_counter()
         out = run_auto()
         good.append(time.perf_counter() - t0)
+        rate = engine_lib.LINK_MONITOR.rate()
+        good_rates.append(round(rate / 1e6, 2) if rate else None)
+        good_routes.append(observed_routes[-1] if observed_routes else "?")
         assert np.array_equal(np.asarray(out, np.int64), want)
 
         os.environ["DEEPGRP_SIM_LINK_BPS"] = str(SLOW_BPS)
@@ -106,6 +126,7 @@ def main() -> int:
         t0 = time.perf_counter()
         out = run_auto()
         slow_adaptive.append(time.perf_counter() - t0)
+        slow_routes.append(observed_routes[-1] if observed_routes else "?")
         assert np.array_equal(np.asarray(out, np.int64), want)
 
         engine_lib.LINK_MONITOR.reset()
@@ -115,9 +136,12 @@ def main() -> int:
         assert np.array_equal(np.asarray(out, np.int64), want)
         del os.environ["DEEPGRP_SIM_LINK_BPS"]
         engine_lib.LINK_MONITOR.reset()
-        print(f"[adaptive-bench] rep {rep}: good {good[-1]:.3f}s, "
-              f"slow-adaptive {slow_adaptive[-1]:.3f}s, "
-              f"slow-forced-streaming {slow_streaming[-1]:.3f}s",
+        print(f"[adaptive-bench] rep {rep}: "
+              f"no-throttle {good[-1]:.3f}s ({good_routes[-1]}, "
+              f"{good_rates[-1]} MB/s), "
+              f"throttled-adaptive {slow_adaptive[-1]:.3f}s "
+              f"({slow_routes[-1]}), "
+              f"throttled-forced-streaming {slow_streaming[-1]:.3f}s",
               flush=True)
 
     # Route proof: under the throttle the streaming driver must bail.
@@ -138,16 +162,17 @@ def main() -> int:
         "slow_link_bps": SLOW_BPS,
         "device_compute_floor_s": round(floor_s, 4),
         "device_only_stats": dev_stats,
-        "good_weather": {
+        "no_throttle": {
             "e2e_s": sorted(round(t, 4) for t in good),
             "e2e_over_device_compute": round(min(good) / floor_s, 2),
-            "route": "streaming (probe committed)",
+            "observed_routes": good_routes,
+            "probed_link_mbps": good_rates,
         },
         "slow_link_adaptive": {
             "e2e_s": sorted(round(t, 4) for t in slow_adaptive),
             "e2e_over_device_compute": round(
                 min(slow_adaptive) / floor_s, 2),
-            "route": "hybrid collapse/host-stack/device-label (re-routed)",
+            "observed_routes": slow_routes,
         },
         "slow_link_forced_streaming": {
             "e2e_s": sorted(round(t, 4) for t in slow_streaming),
