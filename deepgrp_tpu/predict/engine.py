@@ -349,6 +349,15 @@ class ScoredTrack:
         slices = self._state[0]
         if not slices or len(slices[0]) < 2:
             return self.count_runs()
+        if threshold >= (1 << 32):
+            # Full count wanted (capacity sizing): fetch the per-slice
+            # scalars CONCURRENTLY — serial scalar fetches each pay the
+            # link round trip, on the exact path taken when the link is
+            # slow.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(slices), 8)) as ex:
+                return sum(ex.map(lambda ys: int(ys[1]), slices))
         total = 0
         for ys in slices:
             total += int(ys[1])

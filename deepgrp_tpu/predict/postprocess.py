@@ -94,6 +94,45 @@ def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
         max_runs *= 2
 
 
+def _assemble_collapse_fused(packed_slices, spill, rows: int,
+                             maxp_itemsize: int, pad: int, out_len,
+                             capacity: int):
+    """Slice assembly + run collapse as ONE device program.
+
+    The hybrid MSS route previously launched assembly and collapse as
+    separate programs; through a high-latency link each extra dispatch
+    costs a ~50-100 ms round trip, on the exact path the weather-based
+    re-route takes when the link is slow.  Fusing them also avoids
+    materializing the assembled maxp track in HBM between programs.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.ops import mss_device
+    from deepgrp_tpu.predict.engine import _assemble_scored_slices
+
+    @functools.partial(jax.jit, static_argnames=("rows", "maxp_itemsize",
+                                                 "pad", "capacity"))
+    def fused(packed_slices, spill, out_len, rows, maxp_itemsize, pad,
+              capacity):
+        classes, maxp = _assemble_scored_slices(packed_slices, spill, rows,
+                                                maxp_itemsize)
+        if pad > 0:
+            # Uncovered tail: zero-probability rows participate in the
+            # MSS (reference prediction.py:90 zeros + :51-57).
+            classes = jnp.concatenate(
+                [classes, jnp.zeros((pad,), classes.dtype)])
+            maxp = jnp.concatenate([maxp, jnp.zeros((pad,), maxp.dtype)])
+        buf = mss_device.collapse_candidates_packed(classes, maxp, out_len,
+                                                    capacity=capacity)
+        return classes, buf
+
+    return fused(packed_slices, spill, out_len, rows, maxp_itemsize, pad,
+                 capacity)
+
+
 def apply_mss_candidates(track, options: Options, nof_labels: int,
                          runs_hint: int) -> Optional[np.ndarray]:
     """Hybrid MSS: device run collapse -> host stack scan -> device label.
@@ -117,22 +156,39 @@ def apply_mss_candidates(track, options: Options, nof_labels: int,
 
     from deepgrp_tpu.ops import mss_device
 
-    classes_d, maxp_d = track.device()
-    out_len = track.out_len
-    if classes_d.shape[0] < out_len:
-        # Uncovered tail: the reference scores it as zero-probability rows
-        # (prediction.py:90 zeros + :51-57 -> POSITIVE background score),
-        # so it must participate in the MSS, exactly as in
-        # :func:`apply_mss_on_device`.
-        pad = out_len - classes_d.shape[0]
-        classes_d = jnp.concatenate(
-            [classes_d, jnp.zeros((pad,), classes_d.dtype)])
-        maxp_d = jnp.concatenate([maxp_d, jnp.zeros((pad,), maxp_d.dtype)])
     from deepgrp_tpu.predict.engine import _sim_fetch
 
+    out_len = track.out_len
     capacity = 1 << max(6, math.ceil(math.log2(max(runs_hint + 10, 2))))
-    buf = _sim_fetch(mss_device.collapse_candidates_packed(
-        classes_d, maxp_d, jnp.int32(out_len), capacity=capacity))
+    state = getattr(track, "_state", None)
+    if (hasattr(getattr(track, "_engine", None), "_mss_classes_streaming")
+            and state is not None and len(state) == 3):
+        # Single-device engine: assembly + run collapse fused into ONE
+        # program launch over the already-dispatched packed slices (the
+        # weather re-route lands here exactly when dispatch round trips
+        # are expensive).
+        slices, spill, rows_per_slice = state
+        covered = len(slices) * rows_per_slice + int(spill.shape[0])
+        pad = max(0, out_len - covered)
+        classes_d, buf_d = _assemble_collapse_fused(
+            tuple(s[0] for s in slices), spill, rows_per_slice,
+            track._engine._maxp_itemsize, pad, jnp.int32(out_len),
+            capacity)
+        buf = _sim_fetch(buf_d)
+    else:
+        classes_d, maxp_d = track.device()
+        if classes_d.shape[0] < out_len:
+            # Uncovered tail: the reference scores it as zero-probability
+            # rows (prediction.py:90 zeros + :51-57 -> POSITIVE background
+            # score), so it must participate in the MSS, exactly as in
+            # :func:`apply_mss_on_device`.
+            pad = out_len - classes_d.shape[0]
+            classes_d = jnp.concatenate(
+                [classes_d, jnp.zeros((pad,), classes_d.dtype)])
+            maxp_d = jnp.concatenate(
+                [maxp_d, jnp.zeros((pad,), maxp_d.dtype)])
+        buf = _sim_fetch(mss_device.collapse_candidates_packed(
+            classes_d, maxp_d, jnp.int32(out_len), capacity=capacity))
     n_runs, overflow, starts, ends, l_glob, r_glob = (
         mss_device.unpack_candidates(buf, capacity))
     if overflow:
