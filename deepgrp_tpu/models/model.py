@@ -278,8 +278,11 @@ class DeepGRPModel:
             # in the traced computation.
             return init_params(key, self.config, dtype)
         try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:  # no CPU backend registered
+            # local_devices, not devices: on a multi-process run the
+            # global list's first CPU device may belong to another
+            # process and is not addressable here.
+            cpu = jax.local_devices(backend="cpu")[0]
+        except (RuntimeError, IndexError):  # no CPU backend registered
             return init_params(key, self.config, dtype)
         with jax.default_device(cpu):
             host_key = jax.device_put(jax.device_get(key), cpu)
