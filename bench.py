@@ -272,7 +272,7 @@ def measure_train(codes: np.ndarray) -> float:
                       sampler.batch_size, sampler.seq_len)
     key = jax.random.PRNGKey(0)
 
-    reps = 20
+    reps = int(os.environ.get("BENCH_TRAIN_REPS", 20))
     fused = jax.default_backend() == "tpu"
     fwd_buf = (codes_from_onehot_rows(sampler._fwd) if fused
                else sampler._fwd)
@@ -471,8 +471,11 @@ def main() -> None:
     throughput2, f32_stats2 = measure_tpu(codes)
     throughput = max(throughput, throughput2)
     extra_passes = []
+    import jax as _jax
+
     for _ in range(2):
-        if throughput >= 0.55 * dev_f32:
+        # Slow-phase retries only make sense behind the tunneled chip.
+        if _jax.default_backend() != "tpu" or throughput >= 0.55 * dev_f32:
             break
         _phase(f"f32 {throughput:.0f} w/s is <55% of device-only "
                f"{dev_f32:.0f}; waiting out the slow phase")
