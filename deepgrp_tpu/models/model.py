@@ -194,33 +194,37 @@ def forward_logits_from_codes_train(params: Params, codes: jax.Array,
                                     dropout_rate=None) -> jax.Array:
     """Trainable fused forward: integer code windows -> logits.
 
-    GRU training fast path: the fwd+revcomp recurrence (with Keras input
-    dropout applied in-kernel as per-gate mask scales) runs through the
-    custom-VJP Pallas kernel pair (models/pallas_rnn_train.py), so the
-    backward pass recomputes gates in VMEM instead of spooling ``[2B, T,
-    3u]`` intermediates through HBM.  The per-gate masks are drawn from
-    ``dropout_key`` exactly as the scan path draws them
-    (rnn._input_dropout_masks over the doubled batch), so the
+    Training fast path for BOTH cells: the fwd+revcomp recurrence (with
+    Keras input dropout applied in-kernel as per-gate mask scales) runs
+    through the custom-VJP Pallas kernel pairs
+    (models/pallas_rnn_train.py), so the backward pass recomputes gates
+    in VMEM instead of spooling ``[2B, T, n_gates*u]`` intermediates
+    through HBM.  The per-gate masks are drawn from ``dropout_key``
+    exactly as the scan path draws them (rnn._input_dropout_masks over
+    the doubled batch — 3 masks for GRU, 4 for LSTM), so the
     regularization semantics are identical.
     """
     from deepgrp_tpu.models import rnn as rnn_lib_
-    from deepgrp_tpu.models.pallas_rnn_train import pallas_gru_avg_train
+    from deepgrp_tpu.models.pallas_rnn_train import (pallas_gru_avg_train,
+                                                     pallas_lstm_avg_train)
 
     if config.rnn == "LSTM":
-        raise ValueError("fused training kernel supports GRU only")
+        rnn_train, n_gates = pallas_lstm_avg_train, 4
+    else:
+        rnn_train, n_gates = pallas_gru_avg_train, 3
     rate = config.dropout if dropout_rate is None else dropout_rate
     batch = codes.shape[0]
     if dropout_key is not None and (isinstance(rate, jax.Array)
                                     or rate > 0.0):
         masks = rnn_lib_._input_dropout_masks(
-            dropout_key, (2 * batch, config.input_dim), rate, 3,
+            dropout_key, (2 * batch, config.input_dim), rate, n_gates,
             jnp.float32)
         has_mask = True
     else:
-        masks = jnp.ones((3, 2 * batch, config.input_dim), jnp.float32)
+        masks = jnp.ones((n_gates, 2 * batch, config.input_dim),
+                         jnp.float32)
         has_mask = False
-    avg, hidden = pallas_gru_avg_train(params["rnn"], codes, masks,
-                                       has_mask)
+    avg, hidden = rnn_train(params["rnn"], codes, masks, has_mask)
     return _head_logits(params, avg, hidden, config, "highest")
 
 

@@ -221,25 +221,23 @@ class Trainer:
         """Whether the optimization step uses the fused Pallas train
         kernels (models/pallas_rnn_train.py).
 
-        ``"auto"`` picks fused for GRU on TPU — both single-device AND
-        the data-parallel mesh step (the measured 1.64x winner at the
-        flagship shape, benchmarks/train_kernel_bench.json; each device
-        runs the kernel on its local batch slice inside ``shard_map``,
-        loss-trajectory equality vs the DP scan is pinned by
-        tests/test_dp_training.py).  Non-TPU backends keep the scan
-        (interpreter-mode Pallas is orders of magnitude slower).
+        ``"auto"`` picks fused on TPU for BOTH cells — single-device AND
+        the data-parallel mesh step (GRU measured 1.64x at the flagship
+        shape, benchmarks/train_kernel_bench.json; each device runs the
+        kernel on its local batch slice inside ``shard_map``,
+        loss-trajectory equality vs the scan is pinned by
+        tests/test_training.py + tests/test_dp_training.py).  Non-TPU
+        backends keep the scan (interpreter-mode Pallas is orders of
+        magnitude slower).
         """
         if mode == "scan":
             return False
         if mode == "fused":
-            if self.model.config.rnn == "LSTM":
-                raise ValueError("fused training kernel supports GRU only")
             return True
         if mode != "auto":
             raise ValueError(
                 f"rnn_kernel must be auto|scan|fused, got {mode!r}")
-        return (jax.default_backend() == "tpu"
-                and self.model.config.rnn != "LSTM")
+        return jax.default_backend() == "tpu"
 
     def fit(self, train_data: Data, val_data: Data, params=None,
             seed: int = 0,

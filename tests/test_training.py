@@ -145,6 +145,30 @@ def test_fused_train_kernel_matches_scan(tmp_path):
                                hist_scan["val_loss"], atol=1e-4)
 
 
+def test_fused_lstm_train_kernel_matches_scan(tmp_path):
+    """LSTM counterpart of the fused-vs-scan trajectory equality: the
+    custom-VJP LSTM train kernels consume the same PRNG stream (same
+    window sampling, 4 per-gate dropout masks), so the optimization is
+    the same computation up to matmul rounding."""
+    options = Options(vecsize=20, units=8, batch_size=8, n_epochs=2,
+                      n_batches=2, early_stopping_th=10, dropout=0.15,
+                      repeats_to_search=[1, 2], learning_rate=0.01,
+                      rnn="LSTM", attention=False)
+    data = make_data(seed=4)
+    val = make_data(seed=5)
+    model = create_model(options)
+    _, hist_scan = training((data, val), options, model,
+                            logdir=tmp_path / "scan", seed=0,
+                            rnn_kernel="scan")
+    _, hist_fused = training((data, val), options, model,
+                             logdir=tmp_path / "fused", seed=0,
+                             rnn_kernel="fused")
+    np.testing.assert_allclose(hist_fused["loss"], hist_scan["loss"],
+                               atol=1e-4)
+    np.testing.assert_allclose(hist_fused["val_loss"],
+                               hist_scan["val_loss"], atol=1e-4)
+
+
 def test_trainer_nan_guard(tmp_path):
     from deepgrp_tpu.models import create_model as cm
     from deepgrp_tpu.train.training import Trainer
