@@ -67,7 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard/Perfetto)")
     parser.add_argument("--compile-cache", type=str, default=None,
                         metavar="DIR",
-                        help="Persistent XLA compilation cache directory")
+                        help="Persistent XLA compilation cache directory "
+                        "(default: $XDG_CACHE_HOME/deepgrp_tpu/jax — the "
+                        "big scan programs take minutes to compile on TPU "
+                        "but cache across processes; 'off' disables)")
     parser.add_argument("--rnn-kernel", choices=["auto", "scan", "fused"],
                         default="auto",
                         help="Recurrence implementation: 'scan' (XLA), "
@@ -208,8 +211,18 @@ def options_from_args(args: argparse.Namespace):
 def _apply_jax_flags(args: argparse.Namespace) -> None:
     import jax
 
-    if args.compile_cache:
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+    cache_dir = args.compile_cache
+    if cache_dir is None:
+        # On by default: the chunk-scan programs take minutes to compile
+        # on TPU and the cache keys are process-stable (verified,
+        # benchmarks/cache_probe.json) — a fresh CLI process reaches its
+        # first result in seconds instead.
+        base = os.environ.get("XDG_CACHE_HOME",
+                              os.path.join(os.path.expanduser("~"),
+                                           ".cache"))
+        cache_dir = os.path.join(base, "deepgrp_tpu", "jax")
+    if cache_dir and cache_dir != "off":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.verbose >= 2:
         # Device-placement debug parity (reference __main__.py:235-241 maps
