@@ -76,12 +76,8 @@ def _select_xp(code, w_ref, bias_row, mask, channels: int, units: int,
     for c in range(channels):
         row = w_ref[c][None, :]  # [1, n_gates*u]
         if mask is not None:
-            scale = jnp.concatenate([
-                jnp.broadcast_to(mask[:, g * channels + c:
-                                      g * channels + c + 1],
-                                 (block2, units)) for g in range(n_gates)
-            ], axis=1)
-            row = scale * row
+            row = _gate_mask_scale(mask, c, channels, units, block2,
+                                   n_gates) * row
         xp = xp + jnp.where(code == c, row, 0.0)
     return xp
 
@@ -89,7 +85,9 @@ def _select_xp(code, w_ref, bias_row, mask, channels: int, units: int,
 def _gate_mask_scale(mask, c: int, channels: int, units: int, block2: int,
                      n_gates: int):
     """Per-gate dropout scale columns for channel ``c`` broadcast to
-    ``[2bb, n_gates*u]`` (shared helper of the backward kernels)."""
+    ``[2bb, n_gates*u]`` — the ONE definition of the gate-major mask
+    column layout, shared by the input projections and both backward
+    kernels' dW accumulation."""
     return jnp.concatenate([
         jnp.broadcast_to(mask[:, g * channels + c: g * channels + c + 1],
                          (block2, units)) for g in range(n_gates)
@@ -212,15 +210,10 @@ def _gru_train_bwd_kernel(codes_ref, mask_ref, w_ref, u_ref, ut_ref,
             [jnp.sum(d_xp, axis=0), jnp.sum(d_rp, axis=0)])
         dw_rows = []
         for c in range(channels):
-            sel = (code == c).astype(jnp.float32)
-            contrib = d_xp * sel
+            contrib = d_xp * (code == c).astype(jnp.float32)
             if mask is not None:
-                scale = jnp.concatenate([
-                    jnp.broadcast_to(mask[:, g * channels + c:
-                                          g * channels + c + 1],
-                                     (block2, units)) for g in range(3)
-                ], axis=1)
-                contrib = contrib * scale
+                contrib = contrib * _gate_mask_scale(mask, c, channels,
+                                                     units, block2, 3)
             dw_rows.append(jnp.sum(contrib, axis=0))
         # Stacked dense add (a per-row .at[c].add would lower to
         # scatter-add, which Mosaic does not implement).

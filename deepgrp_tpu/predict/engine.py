@@ -409,9 +409,10 @@ class ScoredTrack:
 
         if (hasattr(self._engine, "_mss_classes_streaming")
                 and options.xdrop_len > 0):
+            probe_io: dict = {}
             out = self._engine._mss_classes_streaming(
                 self._state, self._out_len, options, nof_labels,
-                adaptive=True)
+                adaptive=True, probe_io=probe_io)
             if out is not None:
                 return out
             # Slow link.  Full per-slice run count (slice-order scalar
@@ -430,7 +431,8 @@ class ScoredTrack:
                 return apply_mss_on_device(classes_d, maxp_d, options,
                                            nof_labels, self._out_len)
             return self._engine._mss_classes_streaming(
-                self._state, self._out_len, options, nof_labels)
+                self._state, self._out_len, options, nof_labels,
+                probe_io=probe_io)
         return self.host_mss_classes(options, nof_labels)
 
 
@@ -469,7 +471,12 @@ class LinkMonitor:
 #: whole-genome scan converges on a route after the first probe.
 LINK_MONITOR = LinkMonitor()
 
-_SIM_LINK_LOCK = None
+import threading as _threading
+
+# Created at import: a lazily double-checked lock could be constructed
+# twice by concurrent first fetches, silently breaking the serialization
+# contract below.
+_SIM_LINK_LOCK = _threading.Lock()
 
 
 def _sim_fetch(device_array) -> np.ndarray:
@@ -487,11 +494,6 @@ def _sim_fetch(device_array) -> np.ndarray:
     bps = float(os.environ.get("DEEPGRP_SIM_LINK_BPS", "0") or 0)
     if bps <= 0:
         return np.asarray(device_array)
-    global _SIM_LINK_LOCK
-    if _SIM_LINK_LOCK is None:
-        import threading
-
-        _SIM_LINK_LOCK = threading.Lock()
     with _SIM_LINK_LOCK:
         t0 = time.perf_counter()
         out = np.asarray(device_array)
@@ -857,7 +859,8 @@ class PredictionEngine:
 
     def _mss_classes_streaming(self, state, out_len: int, options,
                                nof_labels: int,
-                               adaptive: bool = False
+                               adaptive: bool = False,
+                               probe_io: Optional[dict] = None
                                ) -> Optional[np.ndarray]:
         """Host MSS overlapped with the device->host transfers.
 
@@ -889,13 +892,20 @@ class PredictionEngine:
 
         slices, spill, rows_per_slice = state
         probe: Optional[np.ndarray] = None
-        if adaptive and len(slices) >= 3 and len(slices[0]) >= 2:
+        if probe_io:
+            # A prior adaptive attempt already fetched slice 0; never
+            # pay that transfer twice on a slow link.
+            probe = probe_io.get("slice0")
+        if adaptive and probe is None and len(slices) >= 3 \
+                and len(slices[0]) >= 2:
             import time as _time
 
             int(slices[0][1])  # sync slice 0's compute (scalar fetch)
             t0 = _time.perf_counter()
             probe = _sim_fetch(slices[0][0])
             LINK_MONITOR.record(probe.nbytes, _time.perf_counter() - t0)
+            if probe_io is not None:
+                probe_io["slice0"] = probe
             rate = LINK_MONITOR.rate()
             if (rate is not None
                     and rate < _stream_min_rate(self._maxp_itemsize)):

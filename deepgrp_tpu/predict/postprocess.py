@@ -94,6 +94,32 @@ def apply_mss_on_device(classes, maxp, options: Options, nof_labels: int,
         max_runs *= 2
 
 
+def _assemble_collapse_fused_impl(packed_slices, spill, out_len, rows: int,
+                                  maxp_itemsize: int, pad: int,
+                                  capacity: int):
+    import jax.numpy as jnp
+
+    from deepgrp_tpu.ops import mss_device
+    from deepgrp_tpu.predict.engine import _assemble_scored_slices
+
+    classes, maxp = _assemble_scored_slices(packed_slices, spill, rows,
+                                            maxp_itemsize)
+    if pad > 0:
+        # Uncovered tail: zero-probability rows participate in the
+        # MSS (reference prediction.py:90 zeros + :51-57).
+        classes = jnp.concatenate(
+            [classes, jnp.zeros((pad,), classes.dtype)])
+        maxp = jnp.concatenate([maxp, jnp.zeros((pad,), maxp.dtype)])
+    buf = mss_device.collapse_candidates_packed(classes, maxp, out_len,
+                                                capacity=capacity)
+    return classes, buf
+
+
+# Module-level jit so the compiled program is cached across calls (a
+# per-call wrapper would retrace/recompile on every chromosome).
+_assemble_collapse_fused_jit = None
+
+
 def _assemble_collapse_fused(packed_slices, spill, rows: int,
                              maxp_itemsize: int, pad: int, out_len,
                              capacity: int):
@@ -105,32 +131,20 @@ def _assemble_collapse_fused(packed_slices, spill, rows: int,
     re-route takes when the link is slow.  Fusing them also avoids
     materializing the assembled maxp track in HBM between programs.
     """
-    import functools
+    global _assemble_collapse_fused_jit
+    if _assemble_collapse_fused_jit is None:
+        import functools
 
-    import jax
-    import jax.numpy as jnp
+        import jax
 
-    from deepgrp_tpu.ops import mss_device
-    from deepgrp_tpu.predict.engine import _assemble_scored_slices
-
-    @functools.partial(jax.jit, static_argnames=("rows", "maxp_itemsize",
-                                                 "pad", "capacity"))
-    def fused(packed_slices, spill, out_len, rows, maxp_itemsize, pad,
-              capacity):
-        classes, maxp = _assemble_scored_slices(packed_slices, spill, rows,
-                                                maxp_itemsize)
-        if pad > 0:
-            # Uncovered tail: zero-probability rows participate in the
-            # MSS (reference prediction.py:90 zeros + :51-57).
-            classes = jnp.concatenate(
-                [classes, jnp.zeros((pad,), classes.dtype)])
-            maxp = jnp.concatenate([maxp, jnp.zeros((pad,), maxp.dtype)])
-        buf = mss_device.collapse_candidates_packed(classes, maxp, out_len,
-                                                    capacity=capacity)
-        return classes, buf
-
-    return fused(packed_slices, spill, out_len, rows, maxp_itemsize, pad,
-                 capacity)
+        _assemble_collapse_fused_jit = functools.partial(
+            jax.jit, static_argnames=("rows", "maxp_itemsize", "pad",
+                                      "capacity"))(
+            _assemble_collapse_fused_impl)
+    return _assemble_collapse_fused_jit(packed_slices, spill, out_len,
+                                        rows=rows,
+                                        maxp_itemsize=maxp_itemsize,
+                                        pad=pad, capacity=capacity)
 
 
 def apply_mss_candidates(track, options: Options, nof_labels: int,

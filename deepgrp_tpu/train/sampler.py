@@ -117,35 +117,43 @@ def _sample_starts_dp(key, candidates, lengths, n_sampled: int,
     class totals (called inside ``shard_map``; ``dev_idx`` is the traced
     mesh axis index).
 
-    Every device samples ``q = ceil(ocs_global / n_dev)`` starts per
-    repeat class (shapes must be SPMD-static), then converts its
-    over-quota slots — global class-slot index ``dev_idx*q + k >=
-    ocs_global`` — into uniform window starts.  Summed over the mesh,
-    each repeat class contributes exactly ``ocs_global`` starts and the
-    remainder is uniform: the same per-batch class distribution as the
-    single-device sampler (which a plain ``ocs_global // n_dev``
-    per-device quota silently undercounts by up to ``n_dev - 1`` per
-    class; VERDICT r4 item 8).  The PRNG stream still differs from
+    The ``n_sampled * ocs_global`` global class slots are enumerated
+    FLAT (class-major: slot ``g`` belongs to class ``g // ocs_global``)
+    and striped over devices: device ``d`` samples the static
+    ``slots = ceil(filled / n_dev)`` slot grid and converts its
+    past-the-end slots (``d*slots + j >= filled``) into uniform window
+    starts.  Summed over the mesh, each repeat class contributes exactly
+    ``ocs_global`` starts and the remainder is uniform — the same
+    per-batch class distribution as the single-device sampler (which a
+    plain ``ocs_global // n_dev`` per-device quota silently undercounts
+    by up to ``n_dev - 1`` per class; VERDICT r4 item 8) — and the grid
+    always fits: ``slots <= ceil(batch/n_dev) = local_batch`` whenever
+    the single-device config is valid (``filled <= batch``), including
+    saturated quotas where a per-class ceil grid would not.  Per-device
+    class MIX varies across devices (striping), which is irrelevant
+    after the ``pmean`` gradient reduction; the PRNG stream differs from
     single-device (per-device ``fold_in``), as documented in PARITY.md.
     """
     key_cls, key_fill, key_uni, key_perm = jax.random.split(key, 4)
-    q = -(-ocs_global // n_dev) if ocs_global else 0
-    if n_sampled and local_batch < n_sampled * q:
+    filled = n_sampled * ocs_global
+    slots = -(-filled // n_dev) if filled else 0  # static
+    if slots > local_batch:
+        # Only reachable when filled > batch, which BatchSampler rejects.
         raise ValueError(
-            f"per-device batch {local_batch} cannot hold {n_sampled} "
-            f"classes x ceil({ocs_global}/{n_dev}) quota slots")
+            f"per-device batch {local_batch} cannot hold "
+            f"ceil({filled}/{n_dev}) class-balanced slots")
     parts = []
-    if n_sampled and q:
-        picks = jax.random.randint(key_cls, (n_sampled, q), 0, 1 << 30)
-        picks = picks % lengths[:n_sampled, None]
-        cls_starts = jnp.take_along_axis(candidates[:n_sampled], picks,
-                                         axis=1)
-        fill = jax.random.randint(key_fill, (n_sampled, q), 0,
+    if slots:
+        g = dev_idx * slots + jnp.arange(slots, dtype=jnp.int32)
+        keep = g < filled
+        cls = jnp.clip(g // ocs_global, 0, n_sampled - 1)
+        picks = jax.random.randint(key_cls, (slots,), 0, 1 << 30)
+        idx = picks % jnp.take(lengths, cls)
+        cls_starts = candidates[cls, idx]
+        fill = jax.random.randint(key_fill, (slots,), 0,
                                   seq_len - vecsize)
-        keep = (dev_idx * q + jnp.arange(q)) < ocs_global  # [q]
-        parts.append(jnp.where(keep[None, :], cls_starts,
-                               fill).reshape(-1))
-    n_uniform = local_batch - n_sampled * q
+        parts.append(jnp.where(keep, cls_starts, fill))
+    n_uniform = local_batch - slots
     if n_uniform:
         parts.append(
             jax.random.randint(key_uni, (n_uniform,), 0, seq_len - vecsize))

@@ -100,8 +100,14 @@ def test_dp_train_step_runs_and_improves(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
-@pytest.mark.parametrize("ocs", [5, 8, 11])
-def test_dp_sampler_exact_class_quota(ocs):
+@pytest.mark.parametrize("n_sampled,ocs", [
+    (2, 5), (2, 8), (2, 11),
+    # saturated: 5 classes x 6 slots = 30 of the 32 global slots — a
+    # per-class ceil grid would not fit local_batch=4, the flat slot
+    # striping must (valid single-device config => valid DP config)
+    (5, 6),
+])
+def test_dp_sampler_exact_class_quota(n_sampled, ocs):
     """Summed over the mesh, every repeat class contributes EXACTLY
     one_class_size starts per batch — including quotas that do not
     divide by the device count (the old ``ocs // n_dev`` per-device
@@ -117,7 +123,7 @@ def test_dp_sampler_exact_class_quota(ocs):
     n_dev = mesh.shape[DATA_AXIS]
     if n_dev == 1:
         pytest.skip("single device")
-    n_sampled, local_batch = 2, 4
+    local_batch = 4
     seq_len, vecsize = 100, 10  # uniform starts land in [0, 90)
     # Sentinel candidates: any class-c start equals 1000 + c, so class
     # membership of each sampled start is unambiguous.
