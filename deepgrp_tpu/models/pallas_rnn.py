@@ -481,9 +481,11 @@ def pallas_gru_avg(params, codes: jax.Array, *, block_b: int = 512,
     if time_block is None:
         import os
 
-        default_tb = 16 if out_dtype == jnp.bfloat16 else _TIME_BLOCK
-        time_block = int(os.environ.get("DEEPGRP_GRU_TIME_BLOCK",
-                                        default_tb))
+        # 16 is the measured winner in BOTH dtypes at the flagship shape
+        # (r5 interleaved sweep: f32 137k vs 131k w/s @ 8, bf16 213k vs
+        # 159k; 32 is worse in both) and keeps f32 bitwise BED parity on
+        # real Mosaic (test_bed_bitwise_parity_fused @ tb=16).
+        time_block = int(os.environ.get("DEEPGRP_GRU_TIME_BLOCK", 16))
     if _CODE_COLS % time_block:
         raise ValueError(
             f"time_block must divide {_CODE_COLS} (codes lane tile); "
